@@ -1,0 +1,361 @@
+"""Unified Music Transformer.
+
+One parameterized Flax module replacing the reference's three near-identical
+model files (music_multi.py, music_continuous_token.py, music_regression.py):
+
+ * mode "none" / "discrete_token": vanilla decoder (conditioning, if any,
+   lives in the vocabulary) -- music_multi.py with d_condition <= 0;
+ * mode "continuous_concat": a Linear(2 -> d_condition) embeds
+   (valence, arousal), tiled over the sequence and concatenated on the
+   channel dim (music_multi.py:94-99);
+ * mode "continuous_token": two Linear(1 -> d_model) condition embeddings
+   prepended on the sequence dim (music_continuous_token.py:91-97), with
+   the pad mask built from the token stream left-padded by -1
+   (music_continuous_token.py:86-87);
+ * mode "regression": unmasked encoder + Linear(d -> 2) + tanh over the
+   first position (music_regression.py:64-67, 87).
+
+Besides the full-sequence ``__call__`` (training/eval), the module exposes a
+``prefill`` / ``decode_step`` pair for the static-shape KV-cached sampler:
+``prefill`` runs the full path over the prompt and returns per-layer K/V
+written into fixed-size window buffers; ``decode_step`` advances one token
+entirely on device. With causal masking these are numerically identical to
+re-running the full forward and taking the last position -- which is what
+the reference does every step (generate.py:101-119), at O(T^2) cost.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import (
+    causal_pad_mask,
+    decode_rel_attention,
+    relative_attention,
+)
+from .config import ModelConfig
+from .positional import sinusoid_table
+
+# Cache pytree: {"k": [n_layer, B, H, W, dh], "v": ..., "length": int32 []}
+Cache = Dict[str, jnp.ndarray]
+
+def _uniform_pm(scale: float):
+    """torch-style uniform(-scale, scale) initializer (init_weights,
+    music_multi.py:75-82)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+    return init
+
+
+class RelativeGlobalAttention(nn.Module):
+    """music_multi.py:167-238 -- multi-head attention with the learned
+    relative-position table E [max_seq, d_head]."""
+
+    d_model: int
+    n_head: int
+    max_seq: int
+    dtype: Any = jnp.float32
+    attn_impl: str = "xla"
+
+    def setup(self):
+        dh = self.d_model // self.n_head
+        dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype, name=name)
+        self.wq = dense("Wq")
+        self.wk = dense("Wk")
+        self.wv = dense("Wv")
+        self.fc = dense("fc")
+        # torch.randn init (music_multi.py:185)
+        self.e_table = self.param(
+            "E", nn.initializers.normal(stddev=1.0), (self.max_seq, dh), jnp.float32
+        )
+
+    def _split(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, _ = x.shape
+        return x.reshape(B, T, self.n_head, -1).transpose(0, 2, 1, 3)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray],
+        return_kv: bool = False,
+    ):
+        q = self._split(self.wq(x))
+        k = self._split(self.wk(x))
+        v = self._split(self.wv(x))
+        e = self.e_table.astype(self.dtype)
+        out = relative_attention(q, k, v, e, mask, impl=self.attn_impl)
+        B, H, T, dh = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
+        out = self.fc(out)
+        if return_kv:
+            return out, k, v
+        return out
+
+    def decode(
+        self,
+        x_t: jnp.ndarray,
+        k_cache: jnp.ndarray,
+        v_cache: jnp.ndarray,
+        length: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """One-token step. x_t: [B, d]; caches [B, H, W, dh]; length counts
+        valid entries including the current token."""
+        B = x_t.shape[0]
+        dh = self.d_model // self.n_head
+        split = lambda y: y.reshape(B, self.n_head, dh)
+        q = split(self.wq(x_t))
+        k_t = split(self.wk(x_t))
+        v_t = split(self.wv(x_t))
+        pos = length - 1
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k_t[:, :, None, :], pos, axis=2
+        )
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v_t[:, :, None, :], pos, axis=2
+        )
+        e = self.e_table.astype(self.dtype)
+        out = decode_rel_attention(q, k_cache, v_cache, e, length)
+        return self.fc(out.reshape(B, -1)), k_cache, v_cache
+
+
+class EncoderLayer(nn.Module):
+    """Post-LN block (music_multi.py:110-135): RGA -> dropout ->
+    LN(x + attn) -> ReLU MLP -> dropout -> LN(residual)."""
+
+    d_model: int
+    d_inner: int
+    n_head: int
+    max_seq: int
+    dropout: float
+    dtype: Any = jnp.float32
+    attn_impl: str = "xla"
+
+    def setup(self):
+        self.rga = RelativeGlobalAttention(
+            self.d_model, self.n_head, self.max_seq, self.dtype, self.attn_impl
+        )
+        self.ffn_pre = nn.Dense(self.d_inner, dtype=self.dtype, name="FFN_pre")
+        self.ffn_suf = nn.Dense(self.d_model, dtype=self.dtype, name="FFN_suf")
+        self.ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="layernorm1")
+        self.ln2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="layernorm2")
+        self.drop1 = nn.Dropout(self.dropout)
+        self.drop2 = nn.Dropout(self.dropout)
+
+    def __call__(self, x, mask, deterministic: bool = True, return_kv: bool = False):
+        if return_kv:
+            attn, k, v = self.rga(x, mask, return_kv=True)
+        else:
+            attn = self.rga(x, mask)
+        attn = self.drop1(attn, deterministic=deterministic)
+        out1 = self.ln1(attn + x)
+        ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
+        ffn = self.drop2(ffn, deterministic=deterministic)
+        out2 = self.ln2(out1 + ffn)
+        if return_kv:
+            return out2, k, v
+        return out2
+
+    def decode(self, x_t, k_cache, v_cache, length):
+        attn, k_cache, v_cache = self.rga.decode(x_t, k_cache, v_cache, length)
+        out1 = self.ln1(attn + x_t)
+        ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
+        out2 = self.ln2(out1 + ffn)
+        return out2, k_cache, v_cache
+
+
+class MusicTransformer(nn.Module):
+    config: ModelConfig
+    dtype: Any = jnp.float32
+    attn_impl: str = "xla"
+
+    def setup(self):
+        cfg = self.config
+        self.embedding = nn.Embed(
+            cfg.vocab_size,
+            cfg.embed_dim,
+            embedding_init=_uniform_pm(0.1),  # init_weights, music_multi.py:77
+            dtype=self.dtype,
+            name="embedding",
+        )
+        if cfg.mode == "continuous_concat":
+            self.fc_condition = nn.Dense(
+                cfg.effective_d_condition,
+                kernel_init=_uniform_pm(0.1),
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name="fc_condition",
+            )
+        if cfg.mode == "continuous_token":
+            self.fc_conditions = [
+                nn.Dense(
+                    cfg.d_model,
+                    kernel_init=_uniform_pm(0.1),
+                    bias_init=nn.initializers.zeros,
+                    dtype=self.dtype,
+                    name=f"fc_condition_{i}",
+                )
+                for i in range(cfg.n_conditions)
+            ]
+
+        layer_cls = EncoderLayer
+        if cfg.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3, 4))
+        self.enc_layers = [
+            layer_cls(
+                cfg.d_model,
+                cfg.d_inner,
+                cfg.n_head,
+                cfg.max_seq,
+                cfg.dropout,
+                self.dtype,
+                self.attn_impl,
+                name=f"enc_layers_{i}",
+            )
+            for i in range(cfg.n_layer)
+        ]
+        self.drop = nn.Dropout(cfg.dropout)
+        out_dim = cfg.output_size if cfg.is_regression else cfg.vocab_size
+        self.fc = nn.Dense(
+            out_dim,
+            kernel_init=_uniform_pm(0.1),  # init_weights, music_multi.py:78-79
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="fc",
+        )
+        self.pos_table = jnp.asarray(sinusoid_table(cfg.max_seq, cfg.d_model))
+
+    # ------------------------------------------------------------------
+    def _embed(self, tokens: jnp.ndarray, condition: Optional[jnp.ndarray]):
+        """Token/condition embedding + mask for the full-sequence path.
+
+        Returns (x [B, T', d_model], mask or None) where T' includes the
+        continuous_token prefix.
+        """
+        cfg = self.config
+        x = self.embedding(tokens)
+        if cfg.mode == "continuous_token":
+            x = x * math.sqrt(cfg.d_model)
+            # left-pad with -1 so condition slots never match pad
+            padded = jnp.pad(tokens, ((0, 0), (cfg.n_conditions, 0)), constant_values=-1)
+            mask = causal_pad_mask(padded, cfg.pad_id)
+            c = self.condition_prefix(condition)
+            x = jnp.concatenate([c, x], axis=1)
+        elif cfg.is_regression:
+            x = x * math.sqrt(cfg.d_model)
+            mask = None  # no_mask=True (music_regression.py:37, 77)
+        else:
+            x = x * math.sqrt(cfg.embed_dim)
+            mask = causal_pad_mask(tokens, cfg.pad_id)
+            if cfg.effective_d_condition > 0:
+                ce = self.condition_embedding(condition)  # [B, d_cond]
+                tiled = jnp.broadcast_to(
+                    ce[:, None, :], (x.shape[0], x.shape[1], ce.shape[-1])
+                )
+                x = jnp.concatenate([x, tiled], axis=-1)
+        x = x + self.pos_table[None, : x.shape[1], :].astype(x.dtype)
+        return x, mask
+
+    def condition_embedding(self, condition: jnp.ndarray) -> jnp.ndarray:
+        """continuous_concat channel block [B, d_condition]."""
+        return self.fc_condition(condition)
+
+    def condition_prefix(self, condition: jnp.ndarray) -> jnp.ndarray:
+        """continuous_token prefix [B, n_conditions, d_model]."""
+        cols = [
+            self.fc_conditions[i](condition[:, i, None])
+            for i in range(self.config.n_conditions)
+        ]
+        return jnp.stack(cols, axis=1)
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        tokens: jnp.ndarray,
+        condition: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Full-sequence forward.
+
+        tokens: [B, T] int32. condition: [B, 2] float (ignored for
+        none/discrete/regression). Returns [B, T + seq_prefix, vocab]
+        logits, or [B, output_size] for regression.
+        """
+        cfg = self.config
+        x, mask = self._embed(tokens, condition)
+        x = self.drop(x, deterministic=deterministic)
+        for layer in self.enc_layers:
+            x = layer(x, mask, deterministic, False)
+        if cfg.is_regression:
+            return jnp.tanh(self.fc(x[:, 0, :]))
+        return self.fc(x)
+
+    # ------------------------------------------------------------------
+    def prefill(
+        self,
+        tokens: jnp.ndarray,
+        condition: Optional[jnp.ndarray],
+        window: int,
+    ) -> Tuple[jnp.ndarray, Cache]:
+        """Run the prompt through the full path, capturing K/V into
+        fixed-size [B, H, window, dh] buffers. Returns (last-position
+        logits [B, vocab], cache)."""
+        cfg = self.config
+        x, mask = self._embed(tokens, condition)
+        B = x.shape[0]
+        T = x.shape[1]
+        ks: List[jnp.ndarray] = []
+        vs: List[jnp.ndarray] = []
+        for layer in self.enc_layers:
+            x, k, v = layer(x, mask, True, True)
+            pad_width = ((0, 0), (0, 0), (0, window - T), (0, 0))
+            ks.append(jnp.pad(k, pad_width))
+            vs.append(jnp.pad(v, pad_width))
+        logits = self.fc(x[:, -1, :])
+        cache: Cache = {
+            "k": jnp.stack(ks),
+            "v": jnp.stack(vs),
+            "length": jnp.asarray(T, jnp.int32),
+        }
+        return logits, cache
+
+    def decode_step(
+        self,
+        token_t: jnp.ndarray,
+        cond_emb: Optional[jnp.ndarray],
+        cache: Cache,
+    ) -> Tuple[jnp.ndarray, Cache]:
+        """Advance one token. token_t: [B] int32; cond_emb: precomputed
+        continuous_concat block [B, d_cond] or None. Returns (logits
+        [B, vocab], updated cache)."""
+        cfg = self.config
+        length = cache["length"] + 1
+        x = self.embedding(token_t)
+        if cfg.mode == "continuous_token":
+            x = x * math.sqrt(cfg.d_model)
+        else:
+            x = x * math.sqrt(cfg.embed_dim)
+            if cfg.effective_d_condition > 0:
+                x = jnp.concatenate([x, cond_emb], axis=-1)
+        pos = self.pos_table[length - 1].astype(x.dtype)
+        x = x + pos[None, :]
+        ck, cv = cache["k"], cache["v"]
+        for i, layer in enumerate(self.enc_layers):
+            x, k_i, v_i = layer.decode(x, ck[i], cv[i], length)
+            ck = ck.at[i].set(k_i)
+            cv = cv.at[i].set(v_i)
+        logits = self.fc(x)
+        return logits, {"k": ck, "v": cv, "length": length}
+
+
+def init_params(model: MusicTransformer, rng: jax.Array, batch: int = 1, seq: int = 8):
+    cfg = model.config
+    tokens = jnp.zeros((batch, seq), jnp.int32)
+    condition = jnp.zeros((batch, 2), jnp.float32)
+    return model.init({"params": rng}, tokens, condition, True)["params"]

@@ -1,0 +1,143 @@
+"""Relative global attention (Music Transformer, Huang et al. 2018).
+
+Pure-jnp reference implementation with the exact semantics of the PyTorch
+reference (``/root/reference/src/models/music_multi.py:167-269``), plus the
+O(1)-per-step decode formulation used by the KV-cached sampler.
+
+The reference computes the relative-position term with the "skewing" trick
+(pad-reshape-slice, music_multi.py:245-254) after an upper-triangular
+"qe-masking" (music_multi.py:256-262). The composition of the two is
+equivalent to the closed form
+
+    Srel[b,h,i,j] = q[b,h,i] . E[max_seq - 1 - (i - j)]   for j <= i
+    Srel[b,h,i,j] = 0                                      for j >  i
+
+(including the reference's quirk that the learned table ``E`` is indexed
+from ``max_seq - len_q`` so that short sequences use its *last* rows,
+music_multi.py:240-243). We implement that closed form directly: it needs
+no padding/reshape, maps onto one extra [L, L] matmul + gather, and is what
+the Pallas blockwise kernel computes per tile.
+
+The switchable ``impl`` lets callers choose the XLA path or the fused
+Pallas flash kernel (ops/pallas_attention.py).
+"""
+
+from __future__ import annotations
+
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def rel_position_bias(q: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form Srel.
+
+    Args:
+      q: [B, H, L, dh] queries.
+      e: [max_seq, dh] learned relative-position table (full table).
+
+    Returns:
+      [B, H, L, L] with Srel[i, j] = q[i] . e[max_seq-1-(i-j)] for j <= i,
+      0 above the diagonal (exactly what qe-masking + skewing produce).
+    """
+    L = q.shape[2]
+    max_seq = e.shape[0]
+    e_slice = jax.lax.dynamic_slice_in_dim(e, max_seq - L, L, axis=0)  # [L, dh]
+    qe = jnp.einsum("bhld,md->bhlm", q, e_slice)  # [B,H,L,L]
+    i = jnp.arange(L)[:, None]
+    j = jnp.arange(L)[None, :]
+    gather = jnp.clip(L - 1 - i + j, 0, L - 1)
+    srel = jnp.take_along_axis(qe, gather[None, None], axis=-1)
+    return jnp.where(j <= i, srel, jnp.zeros((), dtype=srel.dtype))
+
+
+def relative_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    e: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Full-sequence relative attention.
+
+    Args:
+      q, k, v: [B, H, L, dh].
+      e: [max_seq, dh] relative table.
+      mask: optional [B, L, L] boolean; True = masked (reference
+        generate_mask semantics: causal OR key-is-pad).
+      impl: "xla" (this file) or "pallas" (fused flash kernel).
+
+    Returns: [B, H, L, dh].
+    """
+    if impl == "pallas":
+        from . import pallas_attention
+
+        return pallas_attention.flash_relative_attention(q, k, v, e, mask)
+
+    dh = q.shape[-1]
+    srel = rel_position_bias(q, e)
+    logits = (jnp.einsum("bhid,bhjd->bhij", q, k) + srel) / math.sqrt(dh)
+    if mask is not None:
+        logits = jnp.where(
+            mask[:, None, :, :], jnp.float32(-jnp.inf).astype(logits.dtype), logits
+        )
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhij,bhjd->bhid", weights, v)
+
+
+def decode_rel_attention(
+    q_t: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    e: jnp.ndarray,
+    length: jnp.ndarray,
+) -> jnp.ndarray:
+    """Single-step decode attention against a KV cache.
+
+    For a query at window position ``length - 1`` attending to keys
+    0..length-1, the relative bias column is
+
+        bias[j] = q . E[max_seq - length + j]
+
+    -- the last ``length`` rows of the table, matching the full-sequence
+    closed form above at i = length-1.
+
+    Args:
+      q_t: [B, H, dh] current-step query.
+      k_cache, v_cache: [B, H, W, dh] with entries 0..length-1 valid.
+      e: [max_seq, dh].
+      length: scalar int32, number of valid cache entries (incl. current).
+
+    Returns: [B, H, dh].
+    """
+    B, H, W, dh = k_cache.shape
+    max_seq = e.shape[0]
+    j = jnp.arange(W)
+    rows = jnp.clip(max_seq - length + j, 0, max_seq - 1)
+    e_rows = jnp.take(e, rows, axis=0)  # [W, dh]
+    bias = jnp.einsum("bhd,wd->bhw", q_t, e_rows)
+    logits = (jnp.einsum("bhd,bhwd->bhw", q_t, k_cache) + bias) / math.sqrt(dh)
+    valid = j[None, None, :] < length
+    logits = jnp.where(valid, logits, jnp.float32(-jnp.inf).astype(logits.dtype))
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhw,bhwd->bhd", weights, v_cache)
+
+
+def causal_pad_mask(tokens: jnp.ndarray, pad_id: int) -> jnp.ndarray:
+    """Reference generate_mask (music_multi.py:25-38): [B, L, L] boolean,
+    True where key position j is in the future (j > i) or token[b, j] is
+    pad. For continuous_token, callers left-pad ``tokens`` with -1 so the
+    condition slots are never treated as pad
+    (music_continuous_token.py:86-87)."""
+    L = tokens.shape[1]
+    i = jnp.arange(L)[:, None]
+    j = jnp.arange(L)[None, :]
+    causal = j > i  # [L, L]
+    pad = tokens == pad_id  # [B, L] -- applies to the key index
+    return causal[None, :, :] | pad[:, None, :]
+
+

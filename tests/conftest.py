@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The machine's sitecustomize registers the remote-TPU ("axon") backend at
+# interpreter startup and overrides JAX_PLATFORMS; only a config update
+# reliably forces CPU for tests.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_DIR = "/root/reference/src"

@@ -355,7 +355,7 @@ class MusicTransformer(nn.Module):
 
 
 def init_params(model: MusicTransformer, rng: jax.Array, batch: int = 1, seq: int = 8):
-    cfg = model.config
     tokens = jnp.zeros((batch, seq), jnp.int32)
     condition = jnp.zeros((batch, 2), jnp.float32)
-    return model.init({"params": rng}, tokens, condition, True)["params"]
+    init = jax.jit(lambda r: model.init({"params": r}, tokens, condition, True))
+    return init(rng)["params"]

@@ -248,14 +248,24 @@ class Loader:
 
     # ---------------------------------------------------------------------
     def batches(self, batch_size: int, shuffle: bool = True):
-        """Infinite epoch iterator of fixed-shape batches. Failed samples
-        are replaced by a redraw of a random index (not dropped)."""
+        """One epoch of fixed-shape batches (finite, like a torch
+        DataLoader pass). Failed samples are replaced by a redraw of a
+        random index (not dropped); datasets smaller than the batch are
+        filled with replacement."""
+        order = np.arange(len(self.data))
+        if shuffle:
+            self.rng.shuffle(order)
+        if len(order) < batch_size:
+            pad = self.rng.randint(len(self.data), size=batch_size - len(order))
+            order = np.concatenate([order, pad])
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            yield self.collect([int(j) for j in order[i : i + batch_size]])
+
+    def epochs(self, batch_size: int, shuffle: bool = True):
+        """Endless epoch-concatenated batch stream (the training loop's
+        `while True` over the DataLoader, train.py:302-303)."""
         while True:
-            order = np.arange(len(self.data))
-            if shuffle:
-                self.rng.shuffle(order)
-            for i in range(0, len(order) - batch_size + 1, batch_size):
-                yield self.collect([int(j) for j in order[i : i + batch_size]])
+            yield from self.batches(batch_size, shuffle)
 
     def collect(self, indices: List[int], max_redraw: int = 64):
         inputs, conds, targets = [], [], []

@@ -1,0 +1,103 @@
+"""Device mesh and sharding rules.
+
+The reference is single-device (device chosen once, train.py:33-34, no
+torch.distributed anywhere); scaling here is TPU-native: a
+("data", "model") ``jax.sharding.Mesh``, batch sharded over "data",
+parameters replicated (DP) or sharded over "model" (TP) via
+``NamedSharding`` annotations -- XLA GSPMD inserts the psum/all-gather
+collectives over ICI. Tensor parallelism is exactly a sharding-rule change
+(SURVEY §2): attention projections shard the head dimension, the MLP shards
+its hidden dimension, the embedding/LM head shard the vocab dimension.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+# parameter path regex -> PartitionSpec over ("data", "model")
+_TP_RULES = [
+    # attention projections: shard heads (output dim of Wq/Wk/Wv, input of fc)
+    (r"rga/(Wq|Wk|Wv)/kernel$", P(None, "model")),
+    (r"rga/(Wq|Wk|Wv)/bias$", P("model")),
+    (r"rga/fc/kernel$", P("model", None)),
+    # MLP: shard the hidden dimension
+    (r"FFN_pre/kernel$", P(None, "model")),
+    (r"FFN_pre/bias$", P("model")),
+    (r"FFN_suf/kernel$", P("model", None)),
+    # embedding + LM head: shard the vocab dimension
+    (r"^embedding/embedding$", P("model", None)),
+    (r"^fc/kernel$", P(None, "model")),
+    (r"^fc/bias$", P("model")),
+]
+
+
+def param_spec(path: str) -> P:
+    """PartitionSpec for a '/'-joined parameter path."""
+    for pattern, spec in _TP_RULES:
+        if re.search(pattern, path):
+            return spec
+    return P()  # replicated
+
+
+def _feasible(spec: P, shape, mesh: Mesh) -> P:
+    """Drop axis assignments whose dimension doesn't divide the mesh axis
+    (e.g. the 1007-wide vocab dim): those fall back to replication."""
+    out = []
+    for i, axis in enumerate(spec):
+        if axis is None or i >= len(shape):
+            out.append(axis)
+            continue
+        if shape[i] % mesh.shape[axis] == 0:
+            out.append(axis)
+        else:
+            out.append(None)
+    return P(*out)
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings matching ``params``. With mesh "model"=1
+    every spec degenerates to full replication (pure DP)."""
+
+    def to_sharding(kp, leaf):
+        p = "/".join(str(getattr(k, "key", k)) for k in kp)
+        spec = _feasible(param_spec(p), leaf.shape, mesh)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim over "data"."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def shard_params(params, mesh: Mesh):
+    return jax.device_put(params, param_shardings(params, mesh))

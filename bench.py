@@ -1,0 +1,211 @@
+"""Benchmark driver.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Primary metric: sampled MIDI tokens/sec, batched generation on the flagship
+model (continuous_concat, 20 layers, d_model 768 -- the reference's default
+config) with the reference's generation settings (window 1216, top-p 0.7,
+dual temperature 1.2, repeat penalty 0.5).
+
+Baseline: the PyTorch reference's generate() loop on CPU (its only
+supported non-CUDA target), which re-forwards the full window every token
+(generate.py:93-119). Its per-token cost is fitted as t(T) = a*T + b*T^2
+from two measured forward lengths and integrated over the generation --
+cheaper and more stable than running 1000+ CPU forwards. The fitted number
+is cached in BASELINE_CPU.json.
+
+Extra keys (same JSON object): train_tokens_per_sec_per_chip for the
+flagship training step, and the generation batch size.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+BASELINE_FP = os.path.join(REPO, "BASELINE_CPU.json")
+
+FLAGSHIP = dict(
+    vocab_size=1007,
+    mode="continuous_concat",
+    n_layer=20,
+    n_head=16,
+    d_model=768,
+    d_inner=3072,
+    d_condition=192,
+    max_seq=2048,
+    dropout=0.1,
+)
+
+
+def measure_reference_cpu(gen_len: int, batch: int) -> float:
+    """Fit the reference CPU per-token cost and integrate. Returns
+    tokens/sec for `batch` sequences of `gen_len` tokens."""
+    import types
+
+    sys.modules.setdefault("pypianoroll", types.ModuleType("pypianoroll"))
+    sys.modules.setdefault("pretty_midi", types.ModuleType("pretty_midi"))
+    sys.path.insert(0, "/root/reference/src")
+    import torch
+
+    from models.music_multi import MusicTransformerMulti
+
+    torch.manual_seed(0)
+    model = MusicTransformerMulti(
+        embedding_dim=768, d_inner=3072, d_condition=192, vocab_size=1007,
+        num_layer=20, num_head=16, max_seq=2048, dropout=0.0, pad_token=0,
+    ).eval()
+    cond = torch.zeros(batch, 2)
+
+    def fwd_time(T: int, reps: int = 2) -> float:
+        x = torch.randint(2, 1000, (batch, T))
+        with torch.no_grad():
+            model(x, cond)  # warmup
+            t0 = time.time()
+            for _ in range(reps):
+                model(x, cond)
+        return (time.time() - t0) / reps
+
+    t1, T1 = fwd_time(256), 256
+    t2, T2 = fwd_time(1024), 1024
+    # solve t(T) = a*T + b*T^2
+    A = np.array([[T1, T1 * T1], [T2, T2 * T2]], float)
+    a, b = np.linalg.solve(A, np.array([t1, t2]))
+    Ts = np.minimum(np.arange(1, gen_len), 1216)
+    total = float(np.sum(a * Ts + b * Ts * Ts))
+    toks_per_sec = batch * (gen_len - 1) / total
+    return toks_per_sec, {"fwd_256_s": t1, "fwd_1024_s": t2}
+
+
+def get_baseline(gen_len: int, batch: int) -> float:
+    if os.path.exists(BASELINE_FP):
+        with open(BASELINE_FP) as f:
+            d = json.load(f)
+        if d.get("gen_len") == gen_len and d.get("batch") == batch:
+            return d["tokens_per_sec"]
+    if not os.path.isdir("/root/reference"):
+        return float("nan")
+    toks, detail = measure_reference_cpu(gen_len, batch)
+    with open(BASELINE_FP, "w") as f:
+        json.dump(
+            {
+                "tokens_per_sec": toks,
+                "gen_len": gen_len,
+                "batch": batch,
+                "hardware": "CPU (torch, reference generate loop, fitted)",
+                **detail,
+            },
+            f,
+            indent=2,
+        )
+    return toks
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gen_len", type=int, default=1024)
+    ap.add_argument("--gen_batch", type=int, default=16)
+    ap.add_argument("--train_batch", type=int, default=8)
+    ap.add_argument("--attn_impl", type=str, default="xla")
+    ap.add_argument("--quick", action="store_true", help="tiny smoke sizes")
+    ap.add_argument("--skip_train", action="store_true")
+    args = ap.parse_args()
+
+    if args.quick:
+        args.gen_len, args.gen_batch, args.train_batch = 64, 4, 2
+
+    import jax
+    import jax.numpy as jnp
+
+    from midi_emotion_tpu.models.config import ModelConfig
+    from midi_emotion_tpu.models.model import MusicTransformer, init_params
+    from midi_emotion_tpu.ops.sampling import SamplingParams
+    from midi_emotion_tpu.generation.sampler import Sampler
+    from midi_emotion_tpu.vocab import DEFAULT_VOCAB
+
+    cfg = ModelConfig(**FLAGSHIP).validate()
+    model = MusicTransformer(cfg, dtype=jnp.bfloat16, attn_impl=args.attn_impl)
+    params = init_params(model, jax.random.PRNGKey(0))
+
+    B, G = args.gen_batch, args.gen_len
+    sp = SamplingParams(gen_len=G, max_input_len=1216, temperatures=(1.2, 1.2),
+                        top_k=-1, top_p=0.7, penalty_coeff=0.5, seed=1)
+    sampler = Sampler(model, params, DEFAULT_VOCAB, sp)
+    primers = np.ones((B, 1), np.int32)
+    conds = np.tile(np.array([[0.8, 0.8]], np.float32), (B, 1))
+
+    # compile warmup + timed run
+    sampler.generate(primers, continuous_conditions=conds)
+    t0 = time.time()
+    song = sampler.generate(primers, continuous_conditions=conds)
+    gen_s = time.time() - t0
+    gen_tokens = B * (G - 1)
+    gen_tps = gen_tokens / gen_s
+
+    result = {
+        "metric": "sampled MIDI tokens/sec (batched generate, continuous_concat 20L/768d)",
+        "value": round(gen_tps, 1),
+        "unit": "tokens/sec",
+        "gen_batch": B,
+        "gen_len": G,
+        "gen_seconds": round(gen_s, 2),
+        "attn_impl": args.attn_impl,
+        "device": str(jax.devices()[0]),
+    }
+
+    if not args.skip_train:
+        from midi_emotion_tpu.parallel import mesh as mesh_lib
+        from midi_emotion_tpu.training.train_step import (
+            make_optimizer, make_train_step,
+        )
+
+        mesh = mesh_lib.make_mesh()
+        tparams = mesh_lib.shard_params(params, mesh)
+        optimizer = make_optimizer(1.0)
+        opt_state = jax.jit(optimizer.init)(tparams)
+        step = make_train_step(model, optimizer, accumulate_steps=1)
+        TB, T = args.train_batch, 1216
+        rng = np.random.RandomState(0)
+        batch = {
+            "input": rng.randint(2, 1000, size=(1, TB, T)).astype(np.int32),
+            "condition": np.zeros((1, TB, 2), np.float32),
+            "target": rng.randint(2, 1000, size=(1, TB, T)).astype(np.int32),
+        }
+        sb = mesh_lib.shard_batch(batch, mesh) if False else {
+            k: jax.device_put(
+                v, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
+            )
+            for k, v in batch.items()
+        }
+        key = jax.random.PRNGKey(0)
+        lr = jnp.float32(2e-5)
+        tparams, opt_state, m = step(tparams, opt_state, sb, key, lr)  # compile
+        jax.block_until_ready(m["loss"])
+        n_steps = 3
+        t0 = time.time()
+        for _ in range(n_steps):
+            tparams, opt_state, m = step(tparams, opt_state, sb, key, lr)
+        jax.block_until_ready(m["loss"])
+        train_s = (time.time() - t0) / n_steps
+        n_chips = len(jax.devices())
+        result["train_tokens_per_sec_per_chip"] = round(TB * T / train_s / n_chips, 1)
+        result["train_batch"] = TB
+
+    baseline = get_baseline(G, 4) if not args.quick else float("nan")
+    result["vs_baseline"] = (
+        round(gen_tps / baseline, 2) if np.isfinite(baseline) else None
+    )
+    result["baseline_cpu_tokens_per_sec"] = (
+        round(baseline, 3) if np.isfinite(baseline) else None
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,11 +33,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import (
-    causal_pad_mask,
-    decode_rel_attention,
-    relative_attention,
-)
+from ..ops.attention import decode_rel_attention, relative_attention
 from .config import ModelConfig
 from .positional import sinusoid_table
 
@@ -83,14 +79,17 @@ class RelativeGlobalAttention(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        mask: Optional[jnp.ndarray],
+        causal: bool,
+        pad_keys: Optional[jnp.ndarray],
         return_kv: bool = False,
     ):
         q = self._split(self.wq(x))
         k = self._split(self.wk(x))
         v = self._split(self.wv(x))
         e = self.e_table.astype(self.dtype)
-        out = relative_attention(q, k, v, e, mask, impl=self.attn_impl)
+        out = relative_attention(
+            q, k, v, e, causal=causal, pad_keys=pad_keys, impl=self.attn_impl
+        )
         B, H, T, dh = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
         out = self.fc(out)
@@ -148,11 +147,18 @@ class EncoderLayer(nn.Module):
         self.drop1 = nn.Dropout(self.dropout)
         self.drop2 = nn.Dropout(self.dropout)
 
-    def __call__(self, x, mask, deterministic: bool = True, return_kv: bool = False):
+    def __call__(
+        self,
+        x,
+        pad_keys,
+        causal: bool = True,
+        deterministic: bool = True,
+        return_kv: bool = False,
+    ):
         if return_kv:
-            attn, k, v = self.rga(x, mask, return_kv=True)
+            attn, k, v = self.rga(x, causal, pad_keys, return_kv=True)
         else:
-            attn = self.rga(x, mask)
+            attn = self.rga(x, causal, pad_keys)
         attn = self.drop1(attn, deterministic=deterministic)
         out1 = self.ln1(attn + x)
         ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
@@ -206,7 +212,7 @@ class MusicTransformer(nn.Module):
 
         layer_cls = EncoderLayer
         if cfg.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(3, 4))
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3, 4, 5))
         self.enc_layers = [
             layer_cls(
                 cfg.d_model,
@@ -240,19 +246,21 @@ class MusicTransformer(nn.Module):
         """
         cfg = self.config
         x = self.embedding(tokens)
+        causal = True
         if cfg.mode == "continuous_token":
             x = x * math.sqrt(cfg.d_model)
             # left-pad with -1 so condition slots never match pad
+            # (music_continuous_token.py:86-87)
             padded = jnp.pad(tokens, ((0, 0), (cfg.n_conditions, 0)), constant_values=-1)
-            mask = causal_pad_mask(padded, cfg.pad_id)
+            pad_keys = padded == cfg.pad_id
             c = self.condition_prefix(condition)
             x = jnp.concatenate([c, x], axis=1)
         elif cfg.is_regression:
             x = x * math.sqrt(cfg.d_model)
-            mask = None  # no_mask=True (music_regression.py:37, 77)
+            causal, pad_keys = False, None  # no_mask (music_regression.py:37,77)
         else:
             x = x * math.sqrt(cfg.embed_dim)
-            mask = causal_pad_mask(tokens, cfg.pad_id)
+            pad_keys = tokens == cfg.pad_id
             if cfg.effective_d_condition > 0:
                 ce = self.condition_embedding(condition)  # [B, d_cond]
                 tiled = jnp.broadcast_to(
@@ -260,7 +268,7 @@ class MusicTransformer(nn.Module):
                 )
                 x = jnp.concatenate([x, tiled], axis=-1)
         x = x + self.pos_table[None, : x.shape[1], :].astype(x.dtype)
-        return x, mask
+        return x, causal, pad_keys
 
     def condition_embedding(self, condition: jnp.ndarray) -> jnp.ndarray:
         """continuous_concat channel block [B, d_condition]."""
@@ -288,10 +296,10 @@ class MusicTransformer(nn.Module):
         logits, or [B, output_size] for regression.
         """
         cfg = self.config
-        x, mask = self._embed(tokens, condition)
+        x, causal, pad_keys = self._embed(tokens, condition)
         x = self.drop(x, deterministic=deterministic)
         for layer in self.enc_layers:
-            x = layer(x, mask, deterministic, False)
+            x = layer(x, pad_keys, causal, deterministic, False)
         if cfg.is_regression:
             return jnp.tanh(self.fc(x[:, 0, :]))
         return self.fc(x)
@@ -307,13 +315,13 @@ class MusicTransformer(nn.Module):
         fixed-size [B, H, window, dh] buffers. Returns (last-position
         logits [B, vocab], cache)."""
         cfg = self.config
-        x, mask = self._embed(tokens, condition)
+        x, causal, pad_keys = self._embed(tokens, condition)
         B = x.shape[0]
         T = x.shape[1]
         ks: List[jnp.ndarray] = []
         vs: List[jnp.ndarray] = []
         for layer in self.enc_layers:
-            x, k, v = layer(x, mask, True, True)
+            x, k, v = layer(x, pad_keys, causal, True, True)
             pad_width = ((0, 0), (0, 0), (0, window - T), (0, 0))
             ks.append(jnp.pad(k, pad_width))
             vs.append(jnp.pad(v, pad_width))

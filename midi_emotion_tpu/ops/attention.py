@@ -59,7 +59,8 @@ def relative_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     e: jnp.ndarray,
-    mask: Optional[jnp.ndarray],
+    causal: bool = True,
+    pad_keys: Optional[jnp.ndarray] = None,
     impl: str = "xla",
 ) -> jnp.ndarray:
     """Full-sequence relative attention.
@@ -67,8 +68,10 @@ def relative_attention(
     Args:
       q, k, v: [B, H, L, dh].
       e: [max_seq, dh] relative table.
-      mask: optional [B, L, L] boolean; True = masked (reference
-        generate_mask semantics: causal OR key-is-pad).
+      causal: apply the subsequent-position mask (False only for the
+        regression model, music_regression.py:37,77).
+      pad_keys: optional [B, L] boolean, True where the KEY position is pad
+        (reference generate_mask semantics, music_multi.py:25-38).
       impl: "xla" (this file) or "pallas" (fused flash kernel).
 
     Returns: [B, H, L, dh].
@@ -76,14 +79,25 @@ def relative_attention(
     if impl == "pallas":
         from . import pallas_attention
 
-        return pallas_attention.flash_relative_attention(q, k, v, e, mask)
+        return pallas_attention.flash_relative_attention(
+            q, k, v, e, causal, pad_keys
+        )
 
+    L = q.shape[2]
     dh = q.shape[-1]
     srel = rel_position_bias(q, e)
     logits = (jnp.einsum("bhid,bhjd->bhij", q, k) + srel) / math.sqrt(dh)
+    mask = None
+    if causal:
+        i = jnp.arange(L)[:, None]
+        j = jnp.arange(L)[None, :]
+        mask = (j > i)[None, None, :, :]
+    if pad_keys is not None:
+        pmask = pad_keys[:, None, None, :]
+        mask = pmask if mask is None else mask | pmask
     if mask is not None:
         logits = jnp.where(
-            mask[:, None, :, :], jnp.float32(-jnp.inf).astype(logits.dtype), logits
+            mask, jnp.float32(-jnp.inf).astype(logits.dtype), logits
         )
     weights = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhij,bhjd->bhid", weights, v)

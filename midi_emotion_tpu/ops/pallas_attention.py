@@ -1,0 +1,275 @@
+"""Fused flash-style relative-position attention (Pallas, TPU).
+
+The reference materializes the full [B, H, T, T] logits plus a same-sized
+skewed relative-bias tensor per layer (music_multi.py:214-231) -- at the
+default T=1216 that is ~380 MB of HBM traffic per layer. This kernel
+computes ``softmax((QK^T + Srel)/sqrt(dh) + mask) V`` blockwise with the
+online-softmax (flash) recurrence, never materializing [T, T], and derives
+the relative bias per block pair directly from the learned table E:
+
+    Srel[i, j] = q[i] . E[max_seq - 1 - (i - j)]   for j <= i, else 0
+    (see ops/attention.py for the equivalence proof vs the reference's
+    qe-masking + skewing)
+
+Per (q-block, k-block) the needed rows of E form one contiguous slice, so
+``q_blk @ E_slice^T`` gives a [bq, bq+bk] band whose diagonals are the
+bias; the band is realigned to [bq, bk] with a log2(bq)-step variable
+roll-by-row-index (bit-decomposed ``pltpu.roll`` + select) -- the blockwise
+form of the reference's pad-reshape "skewing" trick.
+
+Backward runs through a custom VJP that recomputes with the XLA reference
+implementation (rematerialized flash backward kernel is a later
+optimization); forward-only callers (prefill, eval) get the full benefit.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(-1e30)  # avoids inf-inf NaNs inside the recurrence
+
+
+def _skew_band(band: jnp.ndarray, bq: int, bk: int) -> jnp.ndarray:
+    """[bq, bq+bk] band -> [bq, bk] with out[a, b] = band[a, bq-1-a+b].
+
+    Implemented as per-row roll-right by the row index (bit-decomposed into
+    log2(bq) whole-array rolls), which places the wanted window of every
+    row at columns [bq-1, bq-1+bk).
+    """
+    L = bq + bk
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 0)
+    x = band
+    shift = 1
+    while shift < bq:
+        rolled = pltpu.roll(x, shift, axis=1)
+        x = jnp.where((rows & shift) != 0, rolled, x)
+        shift *= 2
+    return x[:, bq - 1 : bq - 1 + bk]
+
+
+def _flash_kernel(
+    q_ref,  # [1, bq, dh]
+    k_ref,  # [1, bk, dh]
+    v_ref,  # [1, bk, dh]
+    e_ref,  # [max_seq + bk, dh] (zero-padded tail)
+    pad_ref,  # [1, 1, Tp] int32 -- 1 where key is pad (full row per batch)
+    o_ref,  # [1, bq, dh]
+    m_scr,  # [bq, 1] f32
+    l_scr,  # [bq, 1] f32
+    acc_scr,  # [bq, dh] f32
+    *,
+    bq: int,
+    bk: int,
+    max_seq: int,
+    scale: float,
+    causal: bool,
+):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    visible = (ik <= iq) if causal else (ik >= 0)
+
+    @pl.when(visible)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # [bq, dh]
+        k = k_ref[0].astype(jnp.float32)  # [bk, dh]
+        v = v_ref[0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+
+        # relative bias: contiguous E slice for this block-pair's distances
+        start = max_seq - iq * bq + ik * bk - bq
+        e_slice = e_ref[pl.ds(start, bq + bk), :].astype(jnp.float32)
+        band = jax.lax.dot_general(
+            q, e_slice, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bq+bk]
+        srel = _skew_band(band, bq, bk)
+        # zero above the diagonal (j > i), matching the reference exactly --
+        # this matters for the unmasked regression model
+        a = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
+        b = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
+        srel = jnp.where(b <= a, srel, 0.0)
+
+        s = (s + srel) * scale
+
+        koff = pl.multiple_of(ik * bk, bk)
+        masked = pad_ref[0, 0, pl.ds(koff, bk)][None, :] != 0  # [1, bk]
+        if causal:
+            masked = masked | (b > a)
+        s = jnp.where(masked, NEG_INF, s)
+
+        # online softmax
+        m_prev = m_scr[:]  # [bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # [bq, bk]
+        alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_scr[:] = m_new
+
+    last = iq if causal else pl.num_programs(2) - 1
+
+    @pl.when(ik == last)
+    def _finalize():
+        denom = l_scr[:]
+        # fully-masked rows (all keys pad) -> reference softmax yields NaN;
+        # we output 0 instead (those rows are pad positions, loss-masked)
+        safe = jnp.where(denom > 0.0, denom, 1.0)
+        o_ref[0] = (acc_scr[:] / safe).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_relative_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    e: jnp.ndarray,
+    causal: bool = True,
+    pad_keys: Optional[jnp.ndarray] = None,
+):
+    return _flash_fwd_impl(q, k, v, e, causal, pad_keys)
+
+
+def _flash_fwd_impl(q, k, v, e, causal, pad_keys, bq: int = 128, bk: int = 128):
+    """q,k,v: [B,H,T,dh]; e: [max_seq, dh]; pad_keys: [B,T] bool or None."""
+    B, H, T, dh = q.shape
+    max_seq = e.shape[0]
+    assert T <= max_seq, (T, max_seq)
+    Tp = _round_up(T, max(bq, bk))
+    pad_t = Tp - T
+
+    def pad3(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad_t), (0, 0))) if pad_t else x
+
+    qp, kp, vp = pad3(q), pad3(k), pad3(v)
+    if pad_keys is None:
+        pk = jnp.zeros((B, Tp), jnp.int32)
+    else:
+        pk = jnp.pad(pad_keys.astype(jnp.int32), ((0, 0), (0, pad_t)))
+    if pad_t:
+        pk = pk.at[:, T:].set(1)
+    pk = pk[:, None, :]  # [B, 1, Tp] -- keeps the block tiling legal
+
+    # E: pad tail so the per-block slice [max_seq - iq*bq + ik*bk - bq,
+    # +bq+bk) stays in bounds on the diagonal, and pad the FRONT so
+    # distances beyond max_seq (from T-padding of queries) also resolve --
+    # front rows are only touched by padded query rows, whose output is
+    # discarded.
+    e_pad = jnp.pad(e.astype(jnp.float32), ((pad_t, 0), (0, 0)))
+    # tail: diagonal blocks read bk past the end; non-causal (regression)
+    # blocks read up to Tp past (those rows are zeros AND masked to 0)
+    e_pad = jnp.pad(e_pad, ((0, Tp if not causal else bk), (0, 0)))
+
+    BH = B * H
+    qf = qp.reshape(BH, Tp, dh)
+    kf = kp.reshape(BH, Tp, dh)
+    vf = vp.reshape(BH, Tp, dh)
+
+    grid = (BH, Tp // bq, Tp // bk)
+    kernel = functools.partial(
+        _flash_kernel,
+        bq=bq,
+        bk=bk,
+        max_seq=max_seq + pad_t,  # front padding shifts the distance origin
+        scale=1.0 / math.sqrt(dh),
+        causal=causal,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((BH, Tp, dh), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dh), lambda bh, iq, ik: (bh, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dh), lambda bh, iq, ik: (bh, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # e_pad, full
+            pl.BlockSpec((1, 1, Tp), lambda bh, iq, ik: (bh // H, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BH * Tp * Tp * (2 * dh + bq + bk) // (2 if causal else 1),
+            bytes_accessed=4 * BH * Tp * dh * 4,
+            transcendentals=BH * Tp * Tp,
+        ),
+    )(qf, kf, vf, e_pad, pk)
+    out = out.reshape(B, H, Tp, dh)
+    return out[:, :, :T, :] if pad_t else out
+
+
+def _xla_reference(q, k, v, e, causal, pad_keys):
+    """Exact-math fallback used for the backward pass."""
+    from .attention import rel_position_bias
+
+    dh = q.shape[-1]
+    T = q.shape[2]
+    srel = rel_position_bias(q.astype(jnp.float32), e.astype(jnp.float32))
+    logits = (
+        jnp.einsum(
+            "bhid,bhjd->bhij",
+            q.astype(jnp.float32),
+            k.astype(jnp.float32),
+        )
+        + srel
+    ) / math.sqrt(dh)
+    mask = None
+    if causal:
+        i = jnp.arange(T)[:, None]
+        j = jnp.arange(T)[None, :]
+        mask = (j > i)[None, None]
+    if pad_keys is not None:
+        pmask = pad_keys[:, None, None, :]
+        mask = pmask if mask is None else (mask | pmask)
+    if mask is not None:
+        logits = jnp.where(mask, NEG_INF, logits)
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhij,bhjd->bhid", w, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def _fwd(q, k, v, e, causal, pad_keys):
+    out = _flash_fwd_impl(q, k, v, e, causal, pad_keys)
+    return out, (q, k, v, e, pad_keys)
+
+
+def _bwd(causal, residuals, g):
+    q, k, v, e, pad_keys = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, e_: _xla_reference(q_, k_, v_, e_, causal, pad_keys),
+        q, k, v, e,
+    )
+    dq, dk, dv, de = vjp(g)
+    return dq, dk, dv, de, None
+
+
+flash_relative_attention.defvjp(_fwd, _bwd)

@@ -37,8 +37,8 @@ from ..ops.attention import decode_rel_attention, relative_attention
 from .config import ModelConfig
 from .positional import sinusoid_table
 
-# Cache pytree: {"k": [n_layer, B, H, W, dh], "v": ..., "length": int32 []}
-Cache = Dict[str, jnp.ndarray]
+# Cache pytree: {"k": L-tuple of [B, H, W, dh], "v": same, "length": int32 []}
+Cache = Dict[str, Any]
 
 def _uniform_pm(scale: float):
     """torch-style uniform(-scale, scale) initializer (init_weights,
@@ -326,9 +326,13 @@ class MusicTransformer(nn.Module):
             ks.append(jnp.pad(k, pad_width))
             vs.append(jnp.pad(v, pad_width))
         logits = self.fc(x[:, -1, :])
+        # per-layer tuples (NOT a stacked [L, ...] array): each layer's
+        # buffer is its own pytree leaf, so the scan carry aliases it and
+        # dynamic_update_slice stays in-place -- a stacked cache forces a
+        # full-cache copy per layer per decoded token
         cache: Cache = {
-            "k": jnp.stack(ks),
-            "v": jnp.stack(vs),
+            "k": tuple(ks),
+            "v": tuple(vs),
             "length": jnp.asarray(T, jnp.int32),
         }
         return logits, cache
@@ -353,13 +357,11 @@ class MusicTransformer(nn.Module):
                 x = jnp.concatenate([x, cond_emb], axis=-1)
         pos = self.pos_table[length - 1].astype(x.dtype)
         x = x + pos[None, :]
-        ck, cv = cache["k"], cache["v"]
+        ck, cv = list(cache["k"]), list(cache["v"])
         for i, layer in enumerate(self.enc_layers):
-            x, k_i, v_i = layer.decode(x, ck[i], cv[i], length)
-            ck = ck.at[i].set(k_i)
-            cv = cv.at[i].set(v_i)
+            x, ck[i], cv[i] = layer.decode(x, ck[i], cv[i], length)
         logits = self.fc(x)
-        return logits, {"k": ck, "v": cv, "length": length}
+        return logits, {"k": tuple(ck), "v": tuple(cv), "length": length}
 
 
 def init_params(model: MusicTransformer, rng: jax.Array, batch: int = 1, seq: int = 8):

@@ -169,6 +169,7 @@ def notes_to_bars(
     timeshift_step: int = 8,
     min_pitch: int = 21,
     max_pitch: int = 108,
+    impl: str = "auto",
 ) -> Optional[List[np.ndarray]]:
     """Segment a song into per-bar token arrays (mid_to_bars,
     data_processing.py:140-176).
@@ -177,7 +178,27 @@ def notes_to_bars(
     timeshift to the bar end is emitted; bars whose event list (including
     the two boundary sentinels) has <= 2 entries are dropped. Returns None
     on any failure, like the reference's bare ``except``.
+
+    impl: "auto" uses the C++ core (ops/native.py) when it built, "python"
+    forces the numpy path, "native" requires the C++ core. Both are
+    bit-identical (tests/test_native.py).
     """
+    if impl in ("auto", "native"):
+        from ..ops import native
+
+        if native.available():
+            try:
+                timed = notes_to_timed_events(notes, min_pitch, max_pitch)
+                times = np.array([t for t, _ in timed], np.float64)
+                evs = np.array([s[0] for _, s in timed], np.int16)
+                vals = np.array([s[1] for _, s in timed], np.int16)
+                return native.tokenize_bars(
+                    times, evs, vals, downbeats, max_timeshift, timeshift_step
+                )
+            except Exception:
+                return None
+        if impl == "native":
+            raise RuntimeError("native tokenizer unavailable (g++ build failed)")
     try:
         bar_times = [round(float(b), 6) for b in downbeats]
         bar_times.append(bar_times[-1] + (bar_times[-1] - bar_times[-2]))

@@ -43,15 +43,20 @@ def rel_position_bias(q: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
       [B, H, L, L] with Srel[i, j] = q[i] . e[max_seq-1-(i-j)] for j <= i,
       0 above the diagonal (exactly what qe-masking + skewing produce).
     """
-    L = q.shape[2]
+    B, H, L = q.shape[0], q.shape[1], q.shape[2]
     max_seq = e.shape[0]
     e_slice = jax.lax.dynamic_slice_in_dim(e, max_seq - L, L, axis=0)  # [L, dh]
     qe = jnp.einsum("bhld,md->bhlm", q, e_slice)  # [B,H,L,L]
-    i = jnp.arange(L)[:, None]
-    j = jnp.arange(L)[None, :]
-    gather = jnp.clip(L - 1 - i + j, 0, L - 1)
-    srel = jnp.take_along_axis(qe, gather[None, None], axis=-1)
-    return jnp.where(j <= i, srel, jnp.zeros((), dtype=srel.dtype))
+    # upper-right-triangle keep (qe-masking): col m survives iff m >= L-1-l
+    l_idx = jnp.arange(L)[:, None]
+    m_idx = jnp.arange(L)[None, :]
+    qe = jnp.where(m_idx >= L - 1 - l_idx, qe, jnp.zeros((), qe.dtype))
+    # skew via pad-reshape-slice: linear cost, reshape-only VJP (a
+    # take_along_axis gather here would lower to scatter-add in the
+    # backward pass -- orders of magnitude slower on TPU)
+    padded = jnp.pad(qe, ((0, 0), (0, 0), (0, 0), (1, 0)))  # [B,H,L,L+1]
+    srel = padded.reshape(B, H, L + 1, L)[:, :, 1:, :]  # [B,H,L,L]
+    return srel
 
 
 def relative_attention(

@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel mesh size")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
     p.add_argument("--attn_impl", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of training steps here")
+    p.add_argument("--profile_start", type=int, default=5)
+    p.add_argument("--profile_steps", type=int, default=5)
     return p
 
 

@@ -242,7 +242,20 @@ class Runner:
         samples_per_epoch = max(1, len(self.train_dataset) // args.batch_size)
         steps_this_epoch = 0
 
+        profiling = False
         while self.train_step_num < args.max_step:
+            # tracing hooks (SURVEY §5: the reference has none)
+            if args.profile_dir and self.train_step_num == args.profile_start:
+                import jax.profiler
+
+                jax.profiler.start_trace(args.profile_dir)
+                profiling = True
+            if profiling and self.train_step_num == args.profile_start + args.profile_steps:
+                import jax.profiler
+
+                jax.profiler.stop_trace()
+                profiling = False
+                self.logging(f"profiler trace written to {args.profile_dir}")
             batch = self._microbatches(it)
             sb = {
                 k: jax.device_put(
@@ -325,6 +338,11 @@ class Runner:
             if steps_this_epoch >= samples_per_epoch:
                 self.epoch += 1
                 steps_this_epoch = 0
+
+        if profiling:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
 
     def run(self):
         args = self.args

@@ -63,10 +63,10 @@ class Sampler:
         self.slide_hop = slide_hop
 
     # ------------------------------------------------------------------
-    def _core(self, n_steps: int, window: int):
+    def _core(self, n_steps: int, window: int, varying: bool = False):
         """Build (and cache) the jitted prefill+scan core for a given
-        static (n_steps, window)."""
-        key = (n_steps, window)
+        static (n_steps, window, varying)."""
+        key = (n_steps, window, varying)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
@@ -74,7 +74,7 @@ class Sampler:
         exclude_mask, ts_range = self.exclude_mask, self.ts_range
 
         @jax.jit
-        def run(params, prompt, cond, uniforms, counts0, temp_key0):
+        def run(params, prompt, cond, uniforms, counts0, temp_key0, cond_seq):
             variables = {"params": params}
             logits0, cache = model.apply(
                 variables, prompt, cond, window, method=MusicTransformer.prefill
@@ -85,19 +85,26 @@ class Sampler:
                     variables, cond, method=MusicTransformer.condition_embedding
                 )
 
-            def body(carry, u):
+            def body(carry, xs):
+                u, cond_t = xs
                 logits, cache, temp_key, counts = carry
                 token, counts = sample_step(
                     logits, temp_key, counts, u, exclude_mask, ts_range, sampling
                 )
+                step_ce = ce
+                if varying:
+                    step_ce = model.apply(
+                        variables, cond_t, method=MusicTransformer.condition_embedding
+                    )
                 new_logits, cache = model.apply(
-                    variables, token, ce, cache, method=MusicTransformer.decode_step
+                    variables, token, step_ce, cache,
+                    method=MusicTransformer.decode_step,
                 )
                 return (new_logits, cache, token, counts), token
 
             init = (logits0, cache, temp_key0, counts0)
             (_, _, last_token, counts), tokens = jax.lax.scan(
-                body, init, uniforms, length=n_steps
+                body, init, (uniforms, cond_seq), length=n_steps
             )
             return tokens, counts
 
@@ -112,6 +119,7 @@ class Sampler:
         discrete_prefix_ids: Optional[np.ndarray] = None,
         rng: Optional[jax.Array] = None,
         uniforms: Optional[np.ndarray] = None,
+        varying_conditions: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Generate a batch of token sequences.
 
@@ -126,6 +134,12 @@ class Sampler:
           rng: JAX PRNGKey (defaults to seed from SamplingParams).
           uniforms: optional [gen_len-1, B] pre-drawn uniforms -- the RNG
             injection hook used for cross-framework parity tests.
+          varying_conditions: optional [B, gen_len, 2] per-step
+            (valence, arousal) interpolation (reference generate.py:35-36,
+            110-113). continuous_concat only. NOTE: the reference re-embeds
+            the WHOLE window under the current condition every step; with a
+            KV cache, cached positions keep the condition they were
+            generated under -- a documented approximation.
 
         Returns: [B, P + gen_len - 1] int32 -- primer plus sampled tokens
           (the reference's final sampled token is likewise never appended,
@@ -144,7 +158,16 @@ class Sampler:
             n_prefix = discrete_prefix_ids.shape[1]
             max_input_len -= n_prefix  # generate.py:80-82
 
-        if continuous_conditions is None:
+        varying = varying_conditions is not None
+        if varying:
+            assert cfg.mode == "continuous_concat", (
+                "per-step conditions require the channel-concat mode; the "
+                "sequence-prefix modes bake conditions into the KV cache"
+            )
+            vc = np.asarray(varying_conditions, np.float32)
+            assert vc.shape == (B, sampling.gen_len, 2), vc.shape
+            cond = jnp.asarray(vc[:, 0])
+        elif continuous_conditions is None:
             cond = jnp.zeros((B, 2), jnp.float32)
         else:
             cond = jnp.asarray(continuous_conditions, jnp.float32)
@@ -193,10 +216,22 @@ class Sampler:
                 "window exceeds the relative-position table; lower "
                 "max_input_len or gen chunk size"
             )
-            run = self._core(n_steps, window)
+            run = self._core(n_steps, window, varying)
             u_chunk = jax.lax.dynamic_slice_in_dim(uniforms, steps_done, n_steps, 0)
+            if varying:
+                # scan step j decodes the logits for reference iteration
+                # j+2, which uses condition index j+1 (generate.py:110-113)
+                cond_seq = jnp.asarray(
+                    vc[:, steps_done + 1 : steps_done + 1 + n_steps].transpose(
+                        1, 0, 2
+                    )
+                )
+                cond = jnp.asarray(vc[:, min(steps_done, vc.shape[1] - 1)])
+            else:
+                cond_seq = jnp.zeros((n_steps, B, 2), jnp.float32)
             tokens, counts = run(
-                self.params, jnp.asarray(prompt), cond, u_chunk, counts, temp_key
+                self.params, jnp.asarray(prompt), cond, u_chunk, counts,
+                temp_key, cond_seq,
             )
             tokens = np.asarray(tokens)  # [n_steps, B]
             song = np.concatenate([song, tokens.T], axis=1)

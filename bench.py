@@ -201,7 +201,7 @@ def main():
             tparams, opt_state, m = step(
                 tparams, opt_state, sb, jax.random.PRNGKey(i + 1), lr
             )
-        jax.block_until_ready(m["loss"])
+        float(jax.device_get(m["loss"]))  # host fetch = real completion
         train_s = (time.time() - t0) / n_steps
         n_chips = len(jax.devices())
         result["train_tokens_per_sec_per_chip"] = round(TB * T / train_s / n_chips, 1)

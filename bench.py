@@ -182,12 +182,7 @@ def main():
             "condition": np.zeros((1, TB, 2), np.float32),
             "target": rng.randint(2, 1000, size=(1, TB, T)).astype(np.int32),
         }
-        sb = mesh_lib.shard_batch(batch, mesh) if False else {
-            k: jax.device_put(
-                v, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
-            )
-            for k, v in batch.items()
-        }
+        sb = mesh_lib.shard_batch(batch, mesh, leading_accum=True)
         lr = jnp.float32(2e-5)
         tparams, opt_state, m = step(
             tparams, opt_state, sb, jax.random.PRNGKey(0), lr

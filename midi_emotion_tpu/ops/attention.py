@@ -136,8 +136,13 @@ def decode_rel_attention(
     B, H, W, dh = k_cache.shape
     max_seq = e.shape[0]
     j = jnp.arange(W)
-    rows = jnp.clip(max_seq - length + j, 0, max_seq - 1)
-    e_rows = jnp.take(e, rows, axis=0)  # [W, dh]
+    # rows [max_seq - length, max_seq - length + W) are contiguous: use a
+    # dynamic slice over a tail-padded table instead of a gather (gathers
+    # lower poorly on TPU); rows past the valid range are masked below
+    e_pad = jnp.pad(e, ((0, W), (0, 0)))
+    e_rows = jax.lax.dynamic_slice_in_dim(
+        e_pad, max_seq - length, W, axis=0
+    )  # [W, dh]
     bias = jnp.einsum("bhd,wd->bhw", q_t, e_rows)
     logits = (jnp.einsum("bhd,bhwd->bhw", q_t, k_cache) + bias) / math.sqrt(dh)
     valid = j[None, None, :] < length

@@ -54,6 +54,23 @@ def _skew_band(band: jnp.ndarray, bq: int, bk: int) -> jnp.ndarray:
     return x[:, bq - 1 : bq - 1 + bk]
 
 
+def _unskew_band(dsrel: jnp.ndarray, bq: int, bk: int) -> jnp.ndarray:
+    """Adjoint of _skew_band: [bq, bk] -> [bq, bq+bk] with
+    out[a, bq-1-a+b] = dsrel[a, b] (zeros elsewhere)."""
+    L = bq + bk
+    tmp = jnp.zeros((bq, L), dsrel.dtype)
+    tmp = tmp.at[:, bq - 1 : bq - 1 + bk].set(dsrel)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 0)
+    x = tmp
+    shift = 1
+    while shift < bq:
+        # roll LEFT by `shift` == cyclic roll right by L - shift
+        rolled = pltpu.roll(x, L - shift, axis=1)
+        x = jnp.where((rows & shift) != 0, rolled, x)
+        shift *= 2
+    return x
+
+
 def _flash_kernel(
     q_ref,  # [1, bq, dh]
     k_ref,  # [1, bk, dh]
@@ -61,6 +78,7 @@ def _flash_kernel(
     e_ref,  # [max_seq + bk, dh] (zero-padded tail)
     pad_ref,  # [1, 1, Tp] int32 -- 1 where key is pad (full row per batch)
     o_ref,  # [1, bq, dh]
+    lse_ref,  # [1, 1, Tp] f32 -- per-row logsumexp (saved for the backward)
     m_scr,  # [bq, 1] f32
     l_scr,  # [bq, 1] f32
     acc_scr,  # [bq, dh] f32
@@ -134,6 +152,12 @@ def _flash_kernel(
         # we output 0 instead (those rows are pad positions, loss-masked)
         safe = jnp.where(denom > 0.0, denom, 1.0)
         o_ref[0] = (acc_scr[:] / safe).astype(o_ref.dtype)
+        # lse = m + log(l); empty rows get +BIG so the backward's
+        # exp(s - lse) recomputation yields exactly 0 for them
+        lse = jnp.where(
+            denom > 0.0, m_scr[:] + jnp.log(safe), jnp.float32(1e30)
+        )
+        lse_ref[0, 0, pl.ds(iq * bq, bq)] = lse[:, 0]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -152,8 +176,10 @@ def flash_relative_attention(
     return _flash_fwd_impl(q, k, v, e, causal, pad_keys)
 
 
-def _flash_fwd_impl(q, k, v, e, causal, pad_keys, bq: int = 128, bk: int = 128):
-    """q,k,v: [B,H,T,dh]; e: [max_seq, dh]; pad_keys: [B,T] bool or None."""
+def _prepare(q, k, v, e, causal, pad_keys, bq, bk):
+    """Shared fwd/bwd padding: T -> Tp multiple of the block size; pad mask
+    rows; E padded front (T-padding distance shift) and tail (diagonal /
+    non-causal block slices)."""
     B, H, T, dh = q.shape
     max_seq = e.shape[0]
     assert T <= max_seq, (T, max_seq)
@@ -172,20 +198,26 @@ def _flash_fwd_impl(q, k, v, e, causal, pad_keys, bq: int = 128, bk: int = 128):
         pk = pk.at[:, T:].set(1)
     pk = pk[:, None, :]  # [B, 1, Tp] -- keeps the block tiling legal
 
-    # E: pad tail so the per-block slice [max_seq - iq*bq + ik*bk - bq,
-    # +bq+bk) stays in bounds on the diagonal, and pad the FRONT so
-    # distances beyond max_seq (from T-padding of queries) also resolve --
-    # front rows are only touched by padded query rows, whose output is
-    # discarded.
     e_pad = jnp.pad(e.astype(jnp.float32), ((pad_t, 0), (0, 0)))
-    # tail: diagonal blocks read bk past the end; non-causal (regression)
-    # blocks read up to Tp past (those rows are zeros AND masked to 0)
-    e_pad = jnp.pad(e_pad, ((0, Tp if not causal else bk), (0, 0)))
+    tail = Tp if not causal else bk
+    e_pad = jnp.pad(e_pad, ((0, tail), (0, 0)))
 
     BH = B * H
-    qf = qp.reshape(BH, Tp, dh)
-    kf = kp.reshape(BH, Tp, dh)
-    vf = vp.reshape(BH, Tp, dh)
+    flat = lambda x: x.reshape(BH, Tp, dh)
+    return (flat(qp), flat(kp), flat(vp), e_pad, pk, Tp, pad_t, pad3)
+
+
+def _flash_fwd_impl(
+    q, k, v, e, causal, pad_keys, bq: int = 128, bk: int = 128,
+    return_lse: bool = False,
+):
+    """q,k,v: [B,H,T,dh]; e: [max_seq, dh]; pad_keys: [B,T] bool or None."""
+    B, H, T, dh = q.shape
+    max_seq = e.shape[0]
+    qf, kf, vf, e_pad, pk, Tp, pad_t, _ = _prepare(
+        q, k, v, e, causal, pad_keys, bq, bk
+    )
+    BH = B * H
 
     grid = (BH, Tp // bq, Tp // bk)
     kernel = functools.partial(
@@ -196,9 +228,12 @@ def _flash_fwd_impl(q, k, v, e, causal, pad_keys, bq: int = 128, bk: int = 128):
         scale=1.0 / math.sqrt(dh),
         causal=causal,
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((BH, Tp, dh), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, Tp, dh), q.dtype),
+            jax.ShapeDtypeStruct((BH, 1, Tp), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
@@ -211,8 +246,12 @@ def _flash_fwd_impl(q, k, v, e, causal, pad_keys, bq: int = 128, bk: int = 128):
             pl.BlockSpec((1, 1, Tp), lambda bh, iq, ik: (bh // H, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tp), lambda bh, iq, ik: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -225,7 +264,252 @@ def _flash_fwd_impl(q, k, v, e, causal, pad_keys, bq: int = 128, bk: int = 128):
         ),
     )(qf, kf, vf, e_pad, pk)
     out = out.reshape(B, H, Tp, dh)
-    return out[:, :, :T, :] if pad_t else out
+    out = out[:, :, :T, :] if pad_t else out
+    if return_lse:
+        return out, lse
+    return out
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _recompute_block(q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq,
+                     scale, causal):
+    """Recompute P and the (a, b) index grids for one block pair."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    start = max_seq - iq * bq + ik * bk - bq
+    e_slice = e_ref[pl.ds(start, bq + bk), :].astype(jnp.float32)
+    band = jax.lax.dot_general(
+        q, e_slice, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    srel = _skew_band(band, bq, bk)
+    a = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
+    b = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
+    srel = jnp.where(b <= a, srel, 0.0)
+    s = (s + srel) * scale
+    masked = pad_row[None, :] != 0
+    if causal:
+        masked = masked | (b > a)
+    s = jnp.where(masked, NEG_INF, s)
+    p = jnp.exp(s - lse_row)  # [bq, bk]; exactly 0 on masked / empty rows
+    return p, e_slice, a, b, start
+
+
+def _bwd_dq_de_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, e_ref, pad_ref,
+    dq_ref, de_ref, dq_scr, de_scr,
+    *, bq, bk, max_seq, scale, causal, n_e_rows,
+):
+    bh = pl.program_id(0)
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when((bh == 0) & (iq == 0) & (ik == 0))
+    def _():
+        de_scr[:] = jnp.zeros_like(de_scr)
+
+    visible = (ik <= iq) if causal else (ik >= 0)
+
+    @pl.when(visible)
+    def _():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse_row = lse_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
+        d_row = dsum_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
+        pad_row = pad_ref[0, 0, pl.ds(ik * bk, bk)]
+        p, e_slice, a, b, start = _recompute_block(
+            q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq, scale,
+            causal,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - d_row) * scale  # [bq, bk], scale folded
+        dq_scr[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dsrel = jnp.where(b <= a, ds, 0.0)
+        dband = _unskew_band(dsrel, bq, bk)  # [bq, bq+bk]
+        dq_scr[:] += jax.lax.dot_general(
+            dband, e_slice, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        de_scr[pl.ds(start, bq + bk), :] += jax.lax.dot_general(
+            dband, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    last = iq if causal else pl.num_programs(2) - 1
+
+    @pl.when(ik == last)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+    @pl.when(
+        (bh == pl.num_programs(0) - 1)
+        & (iq == pl.num_programs(1) - 1)
+        & (ik == pl.num_programs(2) - 1)
+    )
+    def _():
+        de_ref[:] = de_scr[:]
+
+
+def _bwd_dkdv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, e_ref, pad_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr,
+    *, bq, bk, max_seq, scale, causal,
+):
+    ik = pl.program_id(1)
+    iq = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    visible = (iq >= ik) if causal else (iq >= 0)
+
+    @pl.when(visible)
+    def _():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse_row = lse_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
+        d_row = dsum_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
+        pad_row = pad_ref[0, 0, pl.ds(ik * bk, bk)]
+        p, _, a, b, _ = _recompute_block(
+            q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq, scale,
+            causal,
+        )
+        dv_scr[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - d_row) * scale
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(iq == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
+                    bq: int = 128, bk: int = 128):
+    B, H, T, dh = q.shape
+    max_seq = e.shape[0]
+    qf, kf, vf, e_pad, pk, Tp, pad_t, pad3 = _prepare(
+        q, k, v, e, causal, pad_keys, bq, bk
+    )
+    BH = B * H
+    dof = pad3(g).reshape(BH, Tp, dh)
+    outf = pad3(out).reshape(BH, Tp, dh)
+    dsum = jnp.sum(
+        dof.astype(jnp.float32) * outf.astype(jnp.float32), axis=-1
+    )[:, None, :]  # [BH, 1, Tp]
+
+    n_e_rows = e_pad.shape[0]
+    common = dict(
+        bq=bq, bk=bk, max_seq=max_seq + pad_t,
+        scale=1.0 / math.sqrt(dh), causal=causal,
+    )
+    in_specs = [
+        pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
+                     memory_space=pltpu.VMEM),  # q
+        pl.BlockSpec((1, bk, dh), lambda bh, iq, ik: (bh, ik, 0),
+                     memory_space=pltpu.VMEM),  # k
+        pl.BlockSpec((1, bk, dh), lambda bh, iq, ik: (bh, ik, 0),
+                     memory_space=pltpu.VMEM),  # v
+        pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
+                     memory_space=pltpu.VMEM),  # do
+        pl.BlockSpec((1, 1, Tp), lambda bh, iq, ik: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),  # lse
+        pl.BlockSpec((1, 1, Tp), lambda bh, iq, ik: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),  # dsum
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # e_pad
+        pl.BlockSpec((1, 1, Tp), lambda bh, iq, ik: (bh // H, 0, 0),
+                     memory_space=pltpu.VMEM),  # pad rows
+    ]
+
+    dq, de_pad = pl.pallas_call(
+        functools.partial(_bwd_dq_de_kernel, n_e_rows=n_e_rows, **common),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, Tp, dh), q.dtype),
+            jax.ShapeDtypeStruct((n_e_rows, dh), jnp.float32),
+        ),
+        grid=(BH, Tp // bq, Tp // bk),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, dh), jnp.float32),
+            pltpu.VMEM((n_e_rows, dh), jnp.float32),
+        ],
+    )(qf, kf, vf, dof, lse, dsum, e_pad, pk)
+
+    # dK/dV kernel: iq innermost so per-k-block accumulation is legal
+    in_specs_kv = [
+        pl.BlockSpec((1, bq, dh), lambda bh, ik, iq: (bh, iq, 0),
+                     memory_space=pltpu.VMEM),  # q
+        pl.BlockSpec((1, bk, dh), lambda bh, ik, iq: (bh, ik, 0),
+                     memory_space=pltpu.VMEM),  # k
+        pl.BlockSpec((1, bk, dh), lambda bh, ik, iq: (bh, ik, 0),
+                     memory_space=pltpu.VMEM),  # v
+        pl.BlockSpec((1, bq, dh), lambda bh, ik, iq: (bh, iq, 0),
+                     memory_space=pltpu.VMEM),  # do
+        pl.BlockSpec((1, 1, Tp), lambda bh, ik, iq: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Tp), lambda bh, ik, iq: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Tp), lambda bh, ik, iq: (bh // H, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, **common),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, Tp, dh), k.dtype),
+            jax.ShapeDtypeStruct((BH, Tp, dh), v.dtype),
+        ),
+        grid=(BH, Tp // bk, Tp // bq),
+        in_specs=in_specs_kv,
+        out_specs=(
+            pl.BlockSpec((1, bk, dh), lambda bh, ik, iq: (bh, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dh), lambda bh, ik, iq: (bh, ik, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, dh), jnp.float32),
+            pltpu.VMEM((bk, dh), jnp.float32),
+        ],
+    )(qf, kf, vf, dof, lse, dsum, e_pad, pk)
+
+    unflat = lambda x, dt: x.reshape(B, H, Tp, dh)[:, :, :T, :].astype(dt)
+    dq = unflat(dq, q.dtype)
+    dk = unflat(dk, k.dtype)
+    dv = unflat(dv, v.dtype)
+    # de: drop the front (pad_t) and tail padding rows
+    de = de_pad[pad_t : pad_t + max_seq].astype(e.dtype)
+    return dq, dk, dv, de
 
 
 def _xla_reference(q, k, v, e, causal, pad_keys):
@@ -258,17 +542,24 @@ def _xla_reference(q, k, v, e, causal, pad_keys):
 
 
 def _fwd(q, k, v, e, causal, pad_keys):
-    out = _flash_fwd_impl(q, k, v, e, causal, pad_keys)
-    return out, (q, k, v, e, pad_keys)
+    out, lse = _flash_fwd_impl(q, k, v, e, causal, pad_keys, return_lse=True)
+    return out, (q, k, v, e, pad_keys, out, lse)
 
 
 def _bwd(causal, residuals, g):
-    q, k, v, e, pad_keys = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, e_: _xla_reference(q_, k_, v_, e_, causal, pad_keys),
-        q, k, v, e,
-    )
-    dq, dk, dv, de = vjp(g)
+    q, k, v, e, pad_keys, out, lse = residuals
+    import os
+
+    if os.environ.get("MIDI_EMOTION_FLASH_BWD", "pallas") == "xla":
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_, e_: _xla_reference(q_, k_, v_, e_, causal, pad_keys),
+            q, k, v, e,
+        )
+        dq, dk, dv, de = vjp(g)
+    else:
+        dq, dk, dv, de = _flash_bwd_impl(
+            q, k, v, e, causal, pad_keys, out, lse, g
+        )
     return dq, dk, dv, de, None
 
 

@@ -94,10 +94,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    sh = batch_sharding(mesh)
+def shard_batch(batch: dict, mesh: Mesh, leading_accum: bool = False) -> dict:
+    """Place a host batch on the mesh. On a single-device mesh this is a
+    plain transfer: explicit NamedSharding placement on the remote-TPU
+    tunnel used here forces params through the host every step (~90x
+    slowdown measured), so sharding annotations are reserved for real
+    multi-device meshes."""
+    if mesh.size == 1:
+        return batch
+    spec = P(None, "data") if leading_accum else P("data")
+    sh = NamedSharding(mesh, spec)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
 def shard_params(params, mesh: Mesh):
+    if mesh.size == 1:
+        return params  # see shard_batch: avoid committed shardings on 1 dev
     return jax.device_put(params, param_shardings(params, mesh))

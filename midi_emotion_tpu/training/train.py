@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import jax.profiler  # noqa: F401  (registers jax.profiler)
 import numpy as np
 
 from ..data.features import preprocess_features
@@ -246,26 +247,14 @@ class Runner:
         while self.train_step_num < args.max_step:
             # tracing hooks (SURVEY §5: the reference has none)
             if args.profile_dir and self.train_step_num == args.profile_start:
-                import jax.profiler
-
                 jax.profiler.start_trace(args.profile_dir)
                 profiling = True
             if profiling and self.train_step_num == args.profile_start + args.profile_steps:
-                import jax.profiler
-
                 jax.profiler.stop_trace()
                 profiling = False
                 self.logging(f"profiler trace written to {args.profile_dir}")
             batch = self._microbatches(it)
-            sb = {
-                k: jax.device_put(
-                    v,
-                    jax.sharding.NamedSharding(
-                        self.mesh, jax.sharding.PartitionSpec(None, "data")
-                    ),
-                )
-                for k, v in batch.items()
-            }
+            sb = mesh_lib.shard_batch(batch, self.mesh, leading_accum=True)
             self._rng, sub = jax.random.split(self._rng)
             lr = self.lr_ctrl.lr_at(self.train_step_num)
             self.params, self.opt_state, metrics = self._train_fn(
@@ -340,8 +329,6 @@ class Runner:
                 steps_this_epoch = 0
 
         if profiling:
-            import jax.profiler
-
             jax.profiler.stop_trace()
 
     def run(self):

@@ -68,18 +68,66 @@ def test_flash_gradients_match_xla():
     e = _rand((max_seq, dh), 3)
 
     def loss_flash(q, k, v, e):
-        with pltpu.force_tpu_interpret_mode():
-            out = pallas_attention.flash_relative_attention(q, k, v, e, True, None)
+        out = pallas_attention.flash_relative_attention(q, k, v, e, True, None)
         return jnp.sum(out * out)
 
     def loss_xla(q, k, v, e):
         out = relative_attention(q, k, v, e, causal=True, impl="xla")
         return jnp.sum(out * out)
 
-    g1 = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, e)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, e)
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, e)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "causal,with_pads,T",
+    [(True, False, 128), (True, True, 256), (False, False, 128), (True, False, 200)],
+)
+def test_flash_backward_kernels_match_xla(causal, with_pads, T):
+    """The hand-written Pallas backward (dQ/dK/dV/dE kernels) vs autodiff
+    through the exact-math XLA path, incl. pads and non-causal."""
+    B, H, dh, max_seq = 2, 2, 16, 512
+    q = _rand((B, H, T, dh), 10)
+    k = _rand((B, H, T, dh), 11)
+    v = _rand((B, H, T, dh), 12)
+    e = _rand((max_seq, dh), 13)
+    pad_keys = None
+    live = np.ones((B, T), bool)
+    if with_pads:
+        pk = np.zeros((B, T), bool)
+        pk[:, -T // 4 :] = True
+        pad_keys = jnp.asarray(pk)
+        live = ~pk
+    g = _rand((B, H, T, dh), 14)
+    # zero cotangent on pad query rows (their fwd output is NaN in the
+    # reference / 0 in the kernel; training losses mask them)
+    g = g * jnp.asarray(live)[:, None, :, None]
+
+    def loss_xla(q, k, v, e):
+        out = relative_attention(q, k, v, e, causal=causal, pad_keys=pad_keys,
+                                 impl="xla")
+        out = jnp.where(jnp.asarray(live)[:, None, :, None], out, 0.0)
+        return jnp.sum(out * g)
+
+    want = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, e)
+
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = pallas_attention._flash_fwd_impl(
+            q, k, v, e, causal, pad_keys, return_lse=True
+        )
+        got = pallas_attention._flash_bwd_impl(
+            q, k, v, e, causal, pad_keys, out, lse, g
+        )
+    names = ["dq", "dk", "dv", "de"]
+    for name, a, b in zip(names, got, want):
+        a, b = np.asarray(a), np.asarray(b)
+        if name in ("dq",):
+            a = a * live[:, None, :, None]
+            b = b * live[:, None, :, None]
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4, err_msg=name)
 
 
 def test_skew_band_semantics():

@@ -29,3 +29,17 @@ REFERENCE_DIR = "/root/reference/src"
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_DIR)
+
+
+def purge_reference_modules() -> None:
+    """Drop every cached module that was loaded from /root/reference.
+
+    The reference uses bare top-level module names ('utils', 'generate',
+    'models', 'data') from two different roots (src/ and
+    src/create_dataset/), so tests that import from one root would poison
+    tests importing the same names from the other."""
+    for name in list(sys.modules):
+        mod = sys.modules.get(name)
+        path = getattr(mod, "__file__", None) or ""
+        if path.startswith("/root/reference"):
+            del sys.modules[name]

@@ -196,6 +196,7 @@ def test_parity_with_reference_encoder():
     import types
 
     sys.modules.setdefault("pypianoroll", types.ModuleType("pypianoroll"))
+    conftest.purge_reference_modules()
     sys.path.insert(0, "/root/reference/src")
     from data.data_processing import get_maps, timed_tuples_to_tuples
 

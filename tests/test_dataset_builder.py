@@ -37,6 +37,7 @@ def test_string_matching_parity():
         if stub == "spotipy.oauth2":
             mod.SpotifyClientCredentials = lambda **kw: None
         sys.modules.setdefault(stub, mod)
+    conftest.purge_reference_modules()
     sys.path.insert(0, "/root/reference/src/create_dataset")
     import utils as ref_utils
 

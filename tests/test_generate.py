@@ -138,6 +138,7 @@ def test_cli_loads_reference_checkpoint(tmp_path):
     import types
 
     sys.modules.setdefault("pypianoroll", types.ModuleType("pypianoroll"))
+    conftest.purge_reference_modules()
     sys.path.insert(0, "/root/reference/src")
     import torch
     from models.build_model import build_model as ref_build

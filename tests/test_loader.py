@@ -162,6 +162,7 @@ def test_preprocess_features(tmp_path):
 def test_feature_parity_with_reference(tmp_path):
     import sys
 
+    conftest.purge_reference_modules()
     sys.path.insert(0, "/root/reference/src")
     from data.preprocess_features import preprocess_features as ref_pp
 

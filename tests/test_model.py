@@ -124,6 +124,7 @@ def test_decode_matches_full_forward(mode):
 def _load_reference_models():
     import sys
 
+    conftest.purge_reference_modules()
     sys.path.insert(0, "/root/reference/src")
     import models.music_multi as ref_multi
     import models.music_continuous_token as ref_ct

@@ -188,6 +188,7 @@ def _setup_reference_generate():
 
     for stub in ("pypianoroll", "pretty_midi"):
         sys.modules.setdefault(stub, types.ModuleType(stub))
+    conftest.purge_reference_modules()
     sys.path.insert(0, "/root/reference/src")
     import generate as ref_generate
 

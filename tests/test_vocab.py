@@ -4,6 +4,8 @@ reference's (event, value) ordering (data_processing.py:183-222)."""
 import numpy as np
 import pytest
 
+import conftest
+
 from midi_emotion_tpu.vocab import DEFAULT_VOCAB, Vocab, emotion_bin_tokens
 
 
@@ -105,6 +107,7 @@ def test_maps_match_reference():
     # data_processing imports pypianoroll at module level; stub it (we only
     # need get_maps, which is pure Python)
     sys.modules.setdefault("pypianoroll", types.ModuleType("pypianoroll"))
+    conftest.purge_reference_modules()
     sys.path.insert(0, "/root/reference/src")
     try:
         from data.data_processing import get_maps as ref_get_maps

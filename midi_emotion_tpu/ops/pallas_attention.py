@@ -58,8 +58,16 @@ def _unskew_band(dsrel: jnp.ndarray, bq: int, bk: int) -> jnp.ndarray:
     """Adjoint of _skew_band: [bq, bk] -> [bq, bq+bk] with
     out[a, bq-1-a+b] = dsrel[a, b] (zeros elsewhere)."""
     L = bq + bk
-    tmp = jnp.zeros((bq, L), dsrel.dtype)
-    tmp = tmp.at[:, bq - 1 : bq - 1 + bk].set(dsrel)
+    # static-shape placement (``.at[].set`` lowers to an unsupported
+    # scatter inside Mosaic kernels)
+    tmp = jnp.concatenate(
+        [
+            jnp.zeros((bq, bq - 1), dsrel.dtype),
+            dsrel,
+            jnp.zeros((bq, 1), dsrel.dtype),
+        ],
+        axis=1,
+    )
     rows = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 0)
     x = tmp
     shift = 1

@@ -196,16 +196,21 @@ class Sampler:
         hop = self.slide_hop or max(1, max_input_len // 8)
 
         while steps_done < n_total_steps:
-            visible = song.shape[1] if steps_done == 0 else min(
-                song.shape[1], max_input_len - hop
-            )
+            # each refresh prefills the FULL reference window (the last
+            # max_input_len tokens, generate.py:101-103); the first sample
+            # of a chunk therefore sees exactly the reference's context,
+            # and the following hop-1 decode steps see MORE context (the
+            # window grows instead of sliding). slide_hop=1 is
+            # token-identical with the reference through the sliding
+            # region.
+            visible = min(song.shape[1], max_input_len)
             prompt = model_input(song[:, song.shape[1] - visible :])
-            capacity = max_input_len - visible
-            n_steps = min(n_total_steps - steps_done, capacity)
-            assert n_steps > 0, (
-                f"window too small: max_input_len={max_input_len}, "
-                f"visible={visible}"
-            )
+            if steps_done == 0 and visible < max_input_len:
+                n_steps = max(max_input_len - visible, hop)
+            else:
+                n_steps = hop
+            n_steps = min(n_total_steps - steps_done, n_steps)
+            assert n_steps > 0
             # static window: model input length + steps + final (discarded)
             # decode write, rounded for layout friendliness
             window = _round_up(

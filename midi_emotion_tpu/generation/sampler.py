@@ -3,30 +3,37 @@
 Replaces the reference's per-token host loop (generate.py:93-189), which
 re-forwards the full window through the model for every generated token and
 syncs device->host per token for temperature selection and repeat counting.
-Here the whole generation -- prefill, per-step decode, dual-temperature
-selection, repeat penalty, top-k/top-p, categorical draw -- runs on device
-inside one ``lax.scan`` with fixed shapes; the host sees only the final
-token matrix.
+Here prefill, per-step decode, dual-temperature selection, repeat penalty,
+top-k/top-p, and the categorical draw all run on device inside ``lax.scan``
+chunks with fixed shapes; the host sees only token matrices.
 
-Long generations past the context window are handled in hop-sized chunks:
-the reference slides its window by one token every step (generate.py:101-103,
-at O(window) recompute per token); we refresh the KV cache only every
-``slide_hop`` tokens (one prefill per hop, O(window/hop) amortized). With
-``slide_hop=1`` this reproduces the reference's exact per-token window; the
-default trades a slightly-older window start (never older than ``hop``
-tokens) for an asymptotic speedup.
+Two chunking mechanisms, both invisible to the sampled distribution:
+
+ * **Staged cache growth.** Decode reads the whole (static) KV buffer every
+   step, so early steps over a generation-length buffer waste bandwidth.
+   The buffer starts small and is zero-padded (on device) to the next
+   power-of-two-ish stage between scan chunks, halving average cache
+   traffic. Token-for-token identical to a fixed-size buffer (attention
+   masks entries beyond the live length).
+
+ * **Window sliding in hops.** Past ``max_input_len`` the reference slides
+   its window by one token per step (generate.py:101-103). Each refresh
+   here re-prefills the FULL reference window (the last max_input_len
+   tokens) and then takes ``slide_hop`` samples: the first sample of every
+   chunk sees exactly the reference's context, and the following hop-1
+   decode steps see a *growing* window (more context than the reference,
+   never less). ``slide_hop=1`` is token-identical with the reference
+   through the sliding region (tests/test_sliding_window.py).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.config import ModelConfig
 from ..models.model import MusicTransformer
 from ..ops.sampling import SamplingParams, sample_step
 from ..vocab import Vocab
@@ -44,6 +51,7 @@ class Sampler:
         vocab: Vocab,
         sampling: SamplingParams,
         slide_hop: Optional[int] = None,
+        cache_stage: int = 256,
     ):
         cfg = model.config
         assert not cfg.is_regression, "regression models cannot generate"
@@ -52,38 +60,62 @@ class Sampler:
         self.vocab = vocab
         self.sampling = sampling
         self.cfg = cfg
+        self.cache_stage = cache_stage
 
         self.exclude_mask = jnp.asarray(vocab.special_mask())
         self.ts_range = (int(vocab.timeshift_base), int(vocab.base_size))
-
-        # effective window: the reference shrinks max_input_len so the
-        # condition prefix always fits (generate.py:75-82)
-        self.n_discrete_prefix = 0  # set per-call
-        self._jit_cache = {}
         self.slide_hop = slide_hop
+        self._jit_cache = {}
 
     # ------------------------------------------------------------------
-    def _core(self, n_steps: int, window: int, varying: bool = False):
-        """Build (and cache) the jitted prefill+scan core for a given
-        static (n_steps, window, varying)."""
-        key = (n_steps, window, varying)
+    def _prefill_core(self, prompt_len: int, window: int):
+        """Jitted prompt prefill -> (logits, cache, ce)."""
+        key = ("prefill", prompt_len, window)
         if key in self._jit_cache:
             return self._jit_cache[key]
-
-        model, cfg, sampling = self.model, self.cfg, self.sampling
-        exclude_mask, ts_range = self.exclude_mask, self.ts_range
+        model, cfg = self.model, self.cfg
 
         @jax.jit
-        def run(params, prompt, cond, uniforms, counts0, temp_key0, cond_seq):
+        def run(params, prompt, cond):
             variables = {"params": params}
-            logits0, cache = model.apply(
+            logits, cache = model.apply(
                 variables, prompt, cond, window, method=MusicTransformer.prefill
             )
-            ce = None
+            ce = jnp.zeros((prompt.shape[0], 1), jnp.float32)
             if cfg.mode == "continuous_concat":
                 ce = model.apply(
                     variables, cond, method=MusicTransformer.condition_embedding
                 )
+            return logits, cache, ce
+
+        self._jit_cache[key] = run
+        return run
+
+    def _scan_core(self, n_steps: int, w_in: int, w_out: int, varying: bool):
+        """Jitted sample+decode scan over a cache grown from w_in to w_out.
+
+        Carries logits across chunk boundaries, so every chunk's first
+        sample comes from the previous chunk's final decode (no wasted
+        steps). Returns (tokens [n,B], logits, cache, counts)."""
+        key = ("scan", n_steps, w_in, w_out, varying)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        model, cfg, sampling = self.model, self.cfg, self.sampling
+        exclude_mask, ts_range = self.exclude_mask, self.ts_range
+        grow = w_out - w_in
+
+        @jax.jit
+        def run(params, cache, logits0, temp_key0, counts0, uniforms, cond_seq, ce):
+            variables = {"params": params}
+            if grow:
+                pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, grow), (0, 0)))
+                cache = {
+                    "k": tuple(pad(k) for k in cache["k"]),
+                    "v": tuple(pad(v) for v in cache["v"]),
+                    "length": cache["length"],
+                }
+
+            step_ce = None if cfg.mode != "continuous_concat" else ce
 
             def body(carry, xs):
                 u, cond_t = xs
@@ -91,22 +123,22 @@ class Sampler:
                 token, counts = sample_step(
                     logits, temp_key, counts, u, exclude_mask, ts_range, sampling
                 )
-                step_ce = ce
+                ce_t = step_ce
                 if varying:
-                    step_ce = model.apply(
+                    ce_t = model.apply(
                         variables, cond_t, method=MusicTransformer.condition_embedding
                     )
                 new_logits, cache = model.apply(
-                    variables, token, step_ce, cache,
+                    variables, token, ce_t, cache,
                     method=MusicTransformer.decode_step,
                 )
                 return (new_logits, cache, token, counts), token
 
             init = (logits0, cache, temp_key0, counts0)
-            (_, _, last_token, counts), tokens = jax.lax.scan(
+            (logits, cache, last, counts), tokens = jax.lax.scan(
                 body, init, (uniforms, cond_seq), length=n_steps
             )
-            return tokens, counts
+            return tokens, logits, cache, counts
 
         self._jit_cache[key] = run
         return run
@@ -136,10 +168,9 @@ class Sampler:
             injection hook used for cross-framework parity tests.
           varying_conditions: optional [B, gen_len, 2] per-step
             (valence, arousal) interpolation (reference generate.py:35-36,
-            110-113). continuous_concat only. NOTE: the reference re-embeds
-            the WHOLE window under the current condition every step; with a
-            KV cache, cached positions keep the condition they were
-            generated under -- a documented approximation.
+            110-113). continuous_concat only; cached positions keep the
+            condition they were generated under (the reference re-embeds
+            the whole window each step) -- documented approximation.
 
         Returns: [B, P + gen_len - 1] int32 -- primer plus sampled tokens
           (the reference's final sampled token is likewise never appended,
@@ -194,53 +225,84 @@ class Sampler:
         song = primer_ids
         steps_done = 0
         hop = self.slide_hop or max(1, max_input_len // 8)
+        stage = self.cache_stage
 
+        state = None  # (logits, cache, w_cur) between chunks
         while steps_done < n_total_steps:
-            # each refresh prefills the FULL reference window (the last
-            # max_input_len tokens, generate.py:101-103); the first sample
-            # of a chunk therefore sees exactly the reference's context,
-            # and the following hop-1 decode steps see MORE context (the
-            # window grows instead of sliding). slide_hop=1 is
-            # token-identical with the reference through the sliding
-            # region.
-            visible = min(song.shape[1], max_input_len)
-            prompt = model_input(song[:, song.shape[1] - visible :])
-            if steps_done == 0 and visible < max_input_len:
-                n_steps = max(max_input_len - visible, hop)
+            cur_len = song.shape[1]  # tokens so far (excl. prefixes)
+            overhead = n_prefix + cfg.seq_prefix
+
+            if state is None or cur_len > max_input_len:
+                # (re)prefill over the full reference window
+                visible = min(cur_len, max_input_len)
+                prompt = model_input(song[:, cur_len - visible :])
+                # chunk length: fill to the next cache stage (or hop when
+                # sliding)
+                if cur_len > max_input_len:
+                    n_steps = hop
+                else:
+                    live = visible + overhead
+                    w_cur = min(
+                        max(_round_up(live + 1, stage), stage),
+                        _round_up(max_input_len + overhead + hop, 128),
+                        cfg.max_seq,
+                    )
+                    n_steps = w_cur - live
+                if cur_len > max_input_len:
+                    w_cur = min(
+                        _round_up(visible + overhead + n_steps + 1, 128),
+                        cfg.max_seq,
+                    )
+                else:
+                    # sample k's context is cur_len + k tokens; past the
+                    # reference window a refresh is required for parity
+                    n_steps = min(n_steps, max_input_len - cur_len + 1)
+                n_steps = max(1, min(n_total_steps - steps_done, n_steps))
+                assert visible + overhead + n_steps <= w_cur <= cfg.max_seq, (
+                    visible, overhead, n_steps, w_cur,
+                )
+                prefill = self._prefill_core(prompt.shape[1], w_cur)
+                logits, cache, ce = prefill(
+                    self.params, jnp.asarray(prompt), cond
+                )
+                w_in = w_cur
             else:
-                n_steps = hop
-            n_steps = min(n_total_steps - steps_done, n_steps)
-            assert n_steps > 0
-            # static window: model input length + steps + final (discarded)
-            # decode write, rounded for layout friendliness
-            window = _round_up(
-                prompt.shape[1] + cfg.seq_prefix + n_steps + 1, 128
-            )
-            window = min(window, cfg.max_seq)
-            assert window >= prompt.shape[1] + cfg.seq_prefix + n_steps + 1, (
-                "window exceeds the relative-position table; lower "
-                "max_input_len or gen chunk size"
-            )
-            run = self._core(n_steps, window, varying)
+                logits, cache, ce, w_in = state
+                live = cur_len + overhead
+                w_cur = min(
+                    max(_round_up(live + 1, stage), w_in),
+                    _round_up(max_input_len + overhead + hop, 128),
+                    cfg.max_seq,
+                )
+                n_steps = min(
+                    n_total_steps - steps_done,
+                    w_cur - live,
+                    max_input_len - cur_len + 1,
+                )
+                assert n_steps >= 1, (live, w_cur, cur_len, max_input_len)
+
             u_chunk = jax.lax.dynamic_slice_in_dim(uniforms, steps_done, n_steps, 0)
             if varying:
                 # scan step j decodes the logits for reference iteration
                 # j+2, which uses condition index j+1 (generate.py:110-113)
                 cond_seq = jnp.asarray(
-                    vc[:, steps_done + 1 : steps_done + 1 + n_steps].transpose(
-                        1, 0, 2
-                    )
+                    vc[:, steps_done + 1 : steps_done + 1 + n_steps].transpose(1, 0, 2)
                 )
-                cond = jnp.asarray(vc[:, min(steps_done, vc.shape[1] - 1)])
             else:
                 cond_seq = jnp.zeros((n_steps, B, 2), jnp.float32)
-            tokens, counts = run(
-                self.params, jnp.asarray(prompt), cond, u_chunk, counts,
-                temp_key, cond_seq,
+
+            scan = self._scan_core(n_steps, w_in, w_cur, varying)
+            tokens, logits, cache, counts = scan(
+                self.params, cache, logits, temp_key, counts, u_chunk,
+                cond_seq, ce,
             )
             tokens = np.asarray(tokens)  # [n_steps, B]
             song = np.concatenate([song, tokens.T], axis=1)
             temp_key = jnp.asarray(song[:, -1])
             steps_done += n_steps
+            if song.shape[1] > max_input_len:
+                state = None  # next chunk re-prefills (sliding)
+            else:
+                state = (logits, cache, ce, w_cur)
 
         return song

@@ -20,6 +20,37 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` (DCN between
+    hosts, ICI within a slice). No-op when the runtime is single-process
+    or when env-based auto-detection applies (TPU pods set the
+    coordination env vars themselves)."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
+def host_local_batch_to_global(batch: dict, mesh: Mesh):
+    """Multi-host input path: each host feeds its local shard
+    (jax.make_array_from_process_local_data assembles the global array).
+    Single-process meshes fall through to shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    sh = batch_sharding(mesh)
+    return {
+        k: jax.make_array_from_process_local_data(sh, v) for k, v in batch.items()
+    }
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

@@ -520,6 +520,33 @@ class LoaderGenerations:
             }
 
 
+def prefetch(iterator, size: int = 2):
+    """Background-thread batch prefetcher -- the host-side pipelining role
+    of the reference's DataLoader(num_workers=8) (train.py:87-93). Keeps
+    ``size`` ready batches ahead of the training loop; numpy batch
+    assembly overlaps the device step."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
 def filter_collate(batch: List) -> Dict[str, np.ndarray]:
     """Reference-parity collate (collate.py:37-43): drop None samples and
     stack the rest. Provided for API compatibility; the framework's own

@@ -236,7 +236,11 @@ class Runner:
 
     def train(self):
         args = self.args
+        from ..data.loader import prefetch
+
         it = self.train_dataset.epochs(args.batch_size, shuffle=not args.debug)
+        if args.num_workers > 0:
+            it = prefetch(it, size=4)
         train_loss = 0.0
         n_elements_total = 0
         interval_start = time.time()

@@ -215,3 +215,30 @@ def test_pipeline_driver(tmp_path):
     row = df[df["file"] == "aaa"].iloc[0]
     assert row["is_matched"] and row["valence"] == 0.66
     assert not df[df["file"] == "ccc"].iloc[0]["is_matched"]
+
+
+def test_msd_metadata_via_h5(tmp_path):
+    """Fabricate an MSD-summary-layout h5 (pytables-style compound tables
+    under /metadata/songs and /analysis/songs) and scan it."""
+    import h5py
+
+    p = str(tmp_path / "msd.h5")
+    meta_dt = np.dtype(
+        [("song_id", "S18"), ("title", "S64"), ("artist_name", "S64"),
+         ("release", "S64")]
+    )
+    ana_dt = np.dtype([("track_id", "S18")])
+    with h5py.File(p, "w") as f:
+        meta = np.array(
+            [(b"SOAAA", b"Song A", b"Artist A", b"Album A"),
+             (b"SOBBB", b"Song B", b"Artist B", b"Album B")],
+            dtype=meta_dt,
+        )
+        ana = np.array([(b"TRAAA",), (b"TRBBB",)], dtype=ana_dt)
+        f.create_dataset("/metadata/songs", data=meta)
+        f.create_dataset("/analysis/songs", data=ana)
+
+    out = db.msd_trackid_to_metadata(p, ["TRBBB"])
+    assert list(out) == ["TRBBB"]
+    assert out["TRBBB"]["song_id"] == "SOBBB"
+    assert out["TRBBB"]["artist"] == "Artist B"

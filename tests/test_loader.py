@@ -176,3 +176,16 @@ def test_feature_parity_with_reference(tmp_path):
     ref_train, ref_test = ref_pp(csv, n_bins=5, conditional=True)
     assert ours_train == ref_train
     assert ours_test == ref_test
+
+
+def test_prefetch_preserves_stream(tmp_path):
+    from midi_emotion_tpu.data.loader import prefetch
+
+    folder, records = make_dataset(str(tmp_path))
+    a = Loader(folder, records, 32, "none", min_n_instruments=2, seed=7)
+    b = Loader(folder, records, 32, "none", min_n_instruments=2, seed=7)
+    direct = list(a.batches(4))
+    fetched = list(prefetch(b.batches(4), size=2))
+    assert len(direct) == len(fetched)
+    for x, y in zip(direct, fetched):
+        np.testing.assert_array_equal(x["input"], y["input"])

@@ -28,6 +28,7 @@ Two chunking mechanisms, both invisible to the sampled distribution:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -104,7 +105,9 @@ class Sampler:
         exclude_mask, ts_range = self.exclude_mask, self.ts_range
         grow = w_out - w_in
 
-        @jax.jit
+        # donate the incoming cache: the growth pad would otherwise hold
+        # both the old and new buffers live (OOM at large batch)
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def run(params, cache, logits0, temp_key0, counts0, uniforms, cond_seq, ce):
             variables = {"params": params}
             if grow:

@@ -92,32 +92,41 @@ class Sampler:
         self._jit_cache[key] = run
         return run
 
-    def _scan_core(self, n_steps: int, w_in: int, w_out: int, varying: bool):
-        """Jitted sample+decode scan over a cache grown from w_in to w_out.
+    def _grow_cache(self, cache, w_out: int):
+        """Pad per-layer KV buffers to w_out, leaf by leaf, so old buffers
+        free as soon as their pad completes (an in-jit whole-cache pad
+        holds both generations live -> OOM at large batch)."""
+        w_in = cache["k"][0].shape[2]
+        if w_in == w_out:
+            return cache
+        grow = w_out - w_in
+        key = ("pad", w_in, w_out, cache["k"][0].shape)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, grow), (0, 0)))
+            )
+        pad = self._jit_cache[key]
+        ks, vs = list(cache["k"]), list(cache["v"])
+        for i in range(len(ks)):
+            ks[i] = pad(ks[i])
+            vs[i] = pad(vs[i])
+        return {"k": tuple(ks), "v": tuple(vs), "length": cache["length"]}
+
+    def _scan_core(self, n_steps: int, window: int, varying: bool):
+        """Jitted sample+decode scan over a fixed-size cache.
 
         Carries logits across chunk boundaries, so every chunk's first
         sample comes from the previous chunk's final decode (no wasted
         steps). Returns (tokens [n,B], logits, cache, counts)."""
-        key = ("scan", n_steps, w_in, w_out, varying)
+        key = ("scan", n_steps, window, varying)
         if key in self._jit_cache:
             return self._jit_cache[key]
         model, cfg, sampling = self.model, self.cfg, self.sampling
         exclude_mask, ts_range = self.exclude_mask, self.ts_range
-        grow = w_out - w_in
 
-        # donate the incoming cache: the growth pad would otherwise hold
-        # both the old and new buffers live (OOM at large batch)
         @functools.partial(jax.jit, donate_argnums=(1,))
         def run(params, cache, logits0, temp_key0, counts0, uniforms, cond_seq, ce):
             variables = {"params": params}
-            if grow:
-                pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, grow), (0, 0)))
-                cache = {
-                    "k": tuple(pad(k) for k in cache["k"]),
-                    "v": tuple(pad(v) for v in cache["v"]),
-                    "length": cache["length"],
-                }
-
             step_ce = None if cfg.mode != "continuous_concat" else ce
 
             def body(carry, xs):
@@ -294,7 +303,8 @@ class Sampler:
             else:
                 cond_seq = jnp.zeros((n_steps, B, 2), jnp.float32)
 
-            scan = self._scan_core(n_steps, w_in, w_cur, varying)
+            cache = self._grow_cache(cache, w_cur)
+            scan = self._scan_core(n_steps, w_cur, varying)
             tokens, logits, cache, counts = scan(
                 self.params, cache, logits, temp_key, counts, u_chunk,
                 cond_seq, ce,

@@ -110,6 +110,10 @@ class Sampler:
         for i in range(len(ks)):
             ks[i] = pad(ks[i])
             vs[i] = pad(vs[i])
+            # force completion so the old leaf is freed before the next
+            # allocation (async dispatch would allocate every new buffer
+            # before any old one dies -> 2x peak -> OOM at large batch)
+            vs[i].block_until_ready()
         return {"k": tuple(ks), "v": tuple(vs), "length": cache["length"]}
 
     def _scan_core(self, n_steps: int, window: int, varying: bool):
@@ -238,6 +242,20 @@ class Sampler:
         steps_done = 0
         hop = self.slide_hop or max(1, max_input_len // 8)
         stage = self.cache_stage
+        # staged growth trades transition copies for lower average read
+        # bandwidth; at large batch the transitions themselves exceed HBM
+        # (old + new cache live together), so fall back to one full-size
+        # allocation
+        w_max = min(
+            _round_up(max_input_len + n_prefix + cfg.seq_prefix + hop, 128),
+            cfg.max_seq,
+        )
+        itemsize = 2 if self.model.dtype == jnp.bfloat16 else 4
+        full_cache_bytes = (
+            2 * cfg.n_layer * B * cfg.n_head * w_max * cfg.d_head * itemsize
+        )
+        if full_cache_bytes > 3e9:
+            stage = w_max
 
         state = None  # (logits, cache, w_cur) between chunks
         while steps_done < n_total_steps:

@@ -109,3 +109,48 @@ def test_transfer_vocab_growth():
     # fc head has mismatched vocab -> keeps fresh init (reference would
     # crash here; we keep the target)
     assert out["fc"]["kernel"].shape[1] == 1017
+
+
+@pytest.mark.skipif(not conftest.reference_available(), reason="no reference")
+def test_torch_export_roundtrip(tmp_path):
+    """native checkpoint -> torch export -> the REFERENCE model loads it
+    and produces identical logits."""
+    import sys
+    import types
+
+    sys.modules.setdefault("pypianoroll", types.ModuleType("pypianoroll"))
+    conftest.purge_reference_modules()
+    sys.path.insert(0, "/root/reference/src")
+    import torch
+    from models.build_model import build_model as ref_build
+
+    from midi_emotion_tpu.models.model import MusicTransformer
+    from midi_emotion_tpu.training.checkpoint import save_checkpoint
+    from midi_emotion_tpu.convert.torch_export import main as export_main
+    from midi_emotion_tpu.vocab import DEFAULT_VOCAB
+
+    # the reference's build_model hardcodes max_seq=2048 (build_model.py:22)
+    cfg = ModelConfig(
+        vocab_size=1007, mode="continuous_concat", **{**TINY, "max_seq": 2048}
+    )
+    model = MusicTransformer(cfg)
+    params = init_params(model, jax.random.PRNGKey(5))
+    native = str(tmp_path / "native")
+    save_checkpoint(native, params, cfg, DEFAULT_VOCAB)
+
+    out = str(tmp_path / "torch")
+    export_main(["--model_dir", native, "--out_dir", out])
+
+    config = torch.load(out + "/model_config.pt", weights_only=False)
+    ref_model, _ = ref_build(None, load_config_dict=config)
+    ref_model.load_state_dict(torch.load(out + "/model.pt", weights_only=False))
+    ref_model.eval()
+
+    tokens = np.array([[1, 50, 900, 30]], np.int32)
+    cond = np.array([[0.3, -0.7]], np.float32)
+    ours = np.asarray(model.apply({"params": params}, tokens, cond, True))
+    with torch.no_grad():
+        theirs = ref_model(
+            torch.from_numpy(tokens).long(), torch.from_numpy(cond)
+        ).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)

@@ -106,14 +106,12 @@ class Sampler:
                 lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, grow), (0, 0)))
             )
         pad = self._jit_cache[key]
+        # transitions hold old+new generations live (~2x); safe because
+        # generate() disables staging when the full cache exceeds 3 GB
         ks, vs = list(cache["k"]), list(cache["v"])
         for i in range(len(ks)):
             ks[i] = pad(ks[i])
             vs[i] = pad(vs[i])
-            # force completion so the old leaf is freed before the next
-            # allocation (async dispatch would allocate every new buffer
-            # before any old one dies -> 2x peak -> OOM at large batch)
-            vs[i].block_until_ready()
         return {"k": tuple(ks), "v": tuple(vs), "length": cache["length"]}
 
     def _scan_core(self, n_steps: int, window: int, varying: bool):

@@ -64,22 +64,24 @@ class Runner:
             regression=args.regression,
             always_use_discrete_condition=args.always_use_discrete_condition,
         )
+        pad = not getattr(args, "no_pad", False)
         if args.exhaustive_eval:
             self.train_dataset = None
             self.test_dataset = LoaderExhaustive(
                 args.data_folder, test_feats, args.tgt_len, args.conditioning,
-                max_samples=max_samples, **common,
+                max_samples=max_samples, pad=pad, **common,
             )
         else:
             self.train_dataset = Loader(
                 args.data_folder, train_feats, args.tgt_len, args.conditioning,
                 max_samples=max_samples, overfit=args.overfit,
-                bar_start_prob=args.bar_start_prob,
+                bar_start_prob=args.bar_start_prob, pad=pad,
                 max_transpose=args.max_transpose, seed=max(args.seed, 0), **common,
             )
             self.test_dataset = Loader(
                 args.data_folder, test_feats, args.tgt_len, args.conditioning,
-                max_samples=max_samples, seed=max(args.seed, 0) + 1, **common,
+                max_samples=max_samples, pad=pad,
+                seed=max(args.seed, 0) + 1, **common,
             )
         if args.regression_dir is not None:
             self.train_dataset = None
@@ -107,6 +109,12 @@ class Runner:
         self.restart_dir = args.restart_dir
         if self.restart_dir:
             self.cfg, params, _ = ckpt.load_model_dir(self.restart_dir)
+            if args.overwrite_dropout:
+                # build_model.py:43-47: reset dropout when reloading
+                import dataclasses
+
+                self.cfg = dataclasses.replace(self.cfg, dropout=args.dropout)
+                self.logging(f"Dropout rate changed to {args.dropout}")
             self.csv_in = os.path.join(self.restart_dir, "performance.csv")
         else:
             self.cfg = ModelConfig(

@@ -310,7 +310,7 @@ def _recompute_block(q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq,
 def _bwd_dq_de_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, e_ref, pad_ref,
     dq_ref, de_ref, dq_scr, de_scr,
-    *, bq, bk, max_seq, scale, causal, n_e_rows,
+    *, bq, bk, max_seq, scale, causal,
 ):
     bh = pl.program_id(0)
     iq = pl.program_id(1)
@@ -455,7 +455,7 @@ def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
     ]
 
     dq, de_pad = pl.pallas_call(
-        functools.partial(_bwd_dq_de_kernel, n_e_rows=n_e_rows, **common),
+        functools.partial(_bwd_dq_de_kernel, **common),
         out_shape=(
             jax.ShapeDtypeStruct((BH, Tp, dh), q.dtype),
             jax.ShapeDtypeStruct((n_e_rows, dh), jnp.float32),

@@ -343,9 +343,57 @@ class Runner:
         if profiling:
             jax.profiler.stop_trace()
 
+    def find_lr(
+        self,
+        lr_min: float = 1e-7,
+        lr_max: float = 1.0,
+        n_steps: int = 60,
+        smooth: float = 0.8,
+    ):
+        """Exponential learning-rate sweep (the reference's --find_lr flag
+        only toggles debug mode, config.py:137-138 -- no finder loop exists
+        there; this is a working one). Returns (lrs, losses, suggestion)
+        where suggestion is the LR one decade below the divergence point."""
+        args = self.args
+        it = self.train_dataset.epochs(args.batch_size, shuffle=True)
+        factor = (lr_max / lr_min) ** (1.0 / max(n_steps - 1, 1))
+        lrs, losses = [], []
+        best = float("inf")
+        avg = 0.0
+        lr = lr_min
+        for i in range(n_steps):
+            batch = self._microbatches(it)
+            sb = mesh_lib.shard_batch(batch, self.mesh, leading_accum=True)
+            self._rng, sub = jax.random.split(self._rng)
+            self.params, self.opt_state, metrics = self._train_fn(
+                self.params, self.opt_state, sb, sub, jnp.float32(lr)
+            )
+            loss = float(metrics["loss"])
+            avg = smooth * avg + (1 - smooth) * loss
+            debiased = avg / (1 - smooth ** (i + 1))
+            lrs.append(lr)
+            losses.append(debiased)
+            best = min(best, debiased)
+            if not math.isfinite(debiased) or debiased > 4 * best:
+                break  # diverged
+            lr *= factor
+        suggestion = lrs[-1] / 10.0
+        self.logging(
+            f"LR finder: swept {len(lrs)} steps, diverged near {lrs[-1]:.2e}; "
+            f"suggested lr ~ {suggestion:.2e}"
+        )
+        if not args.debug:
+            with open(os.path.join(args.work_dir, "lr_finder.csv"), "w") as f:
+                f.write("lr,loss\n")
+                for l, v in zip(lrs, losses):
+                    f.write(f"{l},{v}\n")
+        return lrs, losses, suggestion
+
     def run(self):
         args = self.args
         try:
+            if getattr(args, "find_lr", False):
+                return self.find_lr()
             if args.exhaustive_eval or args.regression_dir is not None:
                 self.logging("Exhaustive evaluation")
                 loss, accs = self.evaluate()

@@ -153,3 +153,14 @@ def test_lr_controller():
     dp.on_eval(1.1)
     dp.on_eval(1.2)  # patience exceeded -> decay
     assert dp.lr_at(0) == pytest.approx(5e-4)
+
+
+def test_lr_finder(tmp_path, dataset):
+    folder, records = dataset
+    args = _args(tmp_path, folder, records, extra=["--find_lr"])
+    assert args.debug  # find_lr forces debug (config.py:137-138)
+    runner = Runner(args)
+    lrs, losses, suggestion = runner.run()
+    assert len(lrs) == len(losses) >= 3
+    assert lrs[1] > lrs[0]
+    assert 0 < suggestion < 1

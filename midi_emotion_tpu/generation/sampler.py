@@ -236,7 +236,13 @@ class Sampler:
                 return np.concatenate([discrete_prefix_ids, tok_block], axis=1)
             return tok_block
 
-        song = primer_ids
+        # tokens stay ON DEVICE between chunks (each host fetch costs a
+        # full tunnel round-trip; profiling showed fetches were 1/3 of
+        # wall time); the host only sees token ids at refresh boundaries
+        # (sliding prompts) and at the very end
+        device_chunks = []  # [n_i, B] device arrays
+        song_len = P
+        fetched = primer_ids  # host copy up to `fetched_len`
         steps_done = 0
         hop = self.slide_hop or max(1, max_input_len // 8)
         stage = self.cache_stage
@@ -255,14 +261,24 @@ class Sampler:
         if full_cache_bytes > 3e9:
             stage = w_max
 
+        def fetch_song() -> np.ndarray:
+            """Materialize all sampled tokens on the host (one transfer)."""
+            nonlocal fetched, device_chunks
+            if device_chunks:
+                host = [np.asarray(t) for t in device_chunks]
+                fetched = np.concatenate([fetched] + [h.T for h in host], axis=1)
+                device_chunks = []
+            return fetched
+
         state = None  # (logits, cache, w_cur) between chunks
         while steps_done < n_total_steps:
-            cur_len = song.shape[1]  # tokens so far (excl. prefixes)
+            cur_len = song_len  # tokens so far (excl. prefixes)
             overhead = n_prefix + cfg.seq_prefix
 
             if state is None or cur_len > max_input_len:
                 # (re)prefill over the full reference window
                 visible = min(cur_len, max_input_len)
+                song = fetch_song()
                 prompt = model_input(song[:, cur_len - visible :])
                 # chunk length: fill to the next cache stage (or hop when
                 # sliding)
@@ -325,13 +341,13 @@ class Sampler:
                 self.params, cache, logits, temp_key, counts, u_chunk,
                 cond_seq, ce,
             )
-            tokens = np.asarray(tokens)  # [n_steps, B]
-            song = np.concatenate([song, tokens.T], axis=1)
-            temp_key = jnp.asarray(song[:, -1])
+            device_chunks.append(tokens)  # [n_steps, B], stays on device
+            song_len += n_steps
+            temp_key = tokens[-1]  # device slice, no host sync
             steps_done += n_steps
-            if song.shape[1] > max_input_len:
+            if song_len > max_input_len:
                 state = None  # next chunk re-prefills (sliding)
             else:
                 state = (logits, cache, ce, w_cur)
 
-        return song
+        return fetch_song()

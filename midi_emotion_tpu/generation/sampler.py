@@ -102,17 +102,20 @@ class Sampler:
         grow = w_out - w_in
         key = ("pad", w_in, w_out, cache["k"][0].shape)
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(
-                lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, grow), (0, 0)))
-            )
-        pad = self._jit_cache[key]
-        # transitions hold old+new generations live (~2x); safe because
-        # generate() disables staging when the full cache exceeds 3 GB
-        ks, vs = list(cache["k"]), list(cache["v"])
-        for i in range(len(ks)):
-            ks[i] = pad(ks[i])
-            vs[i] = pad(vs[i])
-        return {"k": tuple(ks), "v": tuple(vs), "length": cache["length"]}
+            # ONE dispatch for the whole pytree (per-leaf calls cost a
+            # tunnel round-trip each). Transitions hold old+new
+            # generations live (~2x); safe because generate() disables
+            # staging when the full cache exceeds 3 GB.
+            def pad_all(c):
+                pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, grow), (0, 0)))
+                return {
+                    "k": tuple(pad(k) for k in c["k"]),
+                    "v": tuple(pad(v) for v in c["v"]),
+                    "length": c["length"],
+                }
+
+            self._jit_cache[key] = jax.jit(pad_all)
+        return self._jit_cache[key](cache)
 
     def _scan_core(self, n_steps: int, window: int, varying: bool):
         """Jitted sample+decode scan over a fixed-size cache.

@@ -54,11 +54,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="KV-cache refresh hop for generations longer than the window "
         "(1 = reference-exact per-token slide; default window//8)",
     )
+    # the reference generates under fp16 autocast by default (generate.py:116,
+    # --no_amp to disable); here bf16 is the fast path, f32 the exact one
+    p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--no_amp", action="store_true", help="alias for --dtype f32")
+    p.add_argument(
+        "--attn_impl", type=str, default="xla", choices=["xla", "pallas"]
+    )
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.no_amp:
+        args.dtype = "f32"
+
+    from ..utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
 
     assert len(args.valence) == len(args.arousal), (
         "Lengths of valence and arousal must be equal"
@@ -80,8 +93,11 @@ def main(argv=None):
     if args.batch_gen_dir:
         out_dir = os.path.join(out_dir, "_" + args.batch_gen_dir)
 
+    import jax.numpy as jnp
+
     cfg, params, vocab = load_model_dir(model_dir)
-    model = MusicTransformer(cfg)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = MusicTransformer(cfg, dtype=dtype, attn_impl=args.attn_impl)
 
     # ---- conditions (generate.py:350-387) ---------------------------------
     conditions = None

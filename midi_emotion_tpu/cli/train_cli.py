@@ -127,6 +127,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     import numpy as np
 
     if args.seed > 0:

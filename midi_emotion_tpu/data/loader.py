@@ -252,6 +252,8 @@ class Loader:
         DataLoader pass). Failed samples are replaced by a redraw of a
         random index (not dropped); datasets smaller than the batch are
         filled with replacement."""
+        if len(self.data) == 0:
+            return  # empty split (tiny corpora): an empty epoch, not a crash
         order = np.arange(len(self.data))
         if shuffle:
             self.rng.shuffle(order)
@@ -264,6 +266,11 @@ class Loader:
     def epochs(self, batch_size: int, shuffle: bool = True):
         """Endless epoch-concatenated batch stream (the training loop's
         `while True` over the DataLoader, train.py:302-303)."""
+        if len(self.data) == 0:
+            raise ValueError(
+                "training split is empty -- the feature file / filters left "
+                "no usable songs (check --feature_file and --full_dataset)"
+            )
         while True:
             yield from self.batches(batch_size, shuffle)
 

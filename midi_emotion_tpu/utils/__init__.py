@@ -9,6 +9,20 @@ import time
 from typing import List, Optional, Sequence
 
 
+def honor_jax_platforms_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu python -m ...cli...`` work everywhere.
+
+    On machines whose sitecustomize registers an accelerator plugin and
+    re-exports JAX_PLATFORMS at interpreter start, the env var a user sets is
+    silently overridden; forcing it through jax.config after import is the
+    only reliable path. Call before the first backend touch."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def split_list(alist: Sequence, n_parts: int) -> List[Sequence]:
     """Even list partition (utils.py:8-13)."""
     if n_parts == 0:

@@ -72,8 +72,15 @@ def generate(
     debug: bool = False,
     verbose: bool = False,
     slide_hop: Optional[int] = None,
+    varying_condition: Optional[Sequence[np.ndarray]] = None,
 ):
     """Generate a batch and write MIDI files.
+
+    ``varying_condition``: optional [valences [B, gen_len], arousals
+    [B, gen_len]] per-step interpolation (the reference's
+    generate.py:35-36, 110-113 surface). Runs the reference-exact
+    full-forward-per-token path, since per-step conditions invalidate
+    cached K/V.
 
     Returns (redo_primers, redo_discrete_conditions,
     redo_continuous_conditions) exactly like the reference, so callers can
@@ -90,7 +97,11 @@ def generate(
     # ---- batch assembly (generate.py:35-90) ------------------------------
     discrete_prefix_ids = None
     cont = None
-    if conditioning == "none":
+    if varying_condition is not None:
+        valences, arousals = (np.asarray(a, np.float32) for a in varying_condition)
+        assert valences.shape == arousals.shape == (valences.shape[0], gen_len)
+        batch_size = valences.shape[0]
+    elif conditioning == "none":
         batch_size = len(primers)
     elif conditioning == "discrete_token":
         assert discrete_conditions is not None
@@ -119,11 +130,15 @@ def generate(
         seed=seed,
     )
     sampler = Sampler(model, params, vocab, sampling, slide_hop=slide_hop)
-    song = sampler.generate(
-        primer_ids,
-        continuous_conditions=cont,
-        discrete_prefix_ids=discrete_prefix_ids,
-    )  # [B, T]
+    if varying_condition is not None:
+        vc = np.stack([valences, arousals], axis=-1)  # [B, gen_len, 2]
+        song = sampler.generate_exact(primer_ids, varying_conditions=vc)
+    else:
+        song = sampler.generate(
+            primer_ids,
+            continuous_conditions=cont,
+            discrete_prefix_ids=discrete_prefix_ids,
+        )  # [B, T]
 
     # ---- postprocess (generate.py:193-248) --------------------------------
     redo_primers: List = []

@@ -161,6 +161,140 @@ class Sampler:
         return run
 
     # ------------------------------------------------------------------
+    def _exact_scan_core(self, n_steps: int, window: int, n_prefix: int):
+        """Jitted full-window-forward sampling scan (reference-exact).
+
+        The reference re-embeds the whole visible window under the CURRENT
+        step's condition every iteration (generate.py:101-119), so when the
+        condition varies per step (generate.py:35-36, 110-113) every cached
+        K/V would be stale: the only exact semantics is a full forward per
+        token. This scan keeps that loop entirely on device with a static
+        [B, window] ring buffer -- right-padded with pad_id (the model's own
+        key-pad masking makes the padded forward equal the reference's
+        variable-length one) and rolled once the reference window fills.
+        """
+        key = ("exact", n_steps, window, n_prefix)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        model, cfg, sampling = self.model, self.cfg, self.sampling
+        exclude_mask, ts_range = self.exclude_mask, self.ts_range
+
+        @jax.jit
+        def run(params, buf, length0, temp_key0, counts0, uniforms, cond_seq,
+                prefix_ids):
+            variables = {"params": params}
+
+            def fwd(buf, cond_t):
+                inp = buf
+                if n_prefix:
+                    inp = jnp.concatenate([prefix_ids, buf], axis=1)
+                return model.apply(variables, inp, cond_t, True)
+
+            def body(carry, xs):
+                u, cond_t = xs
+                buf, length, temp_key, counts = carry
+                logits_full = fwd(buf, cond_t)
+                pos = cfg.seq_prefix + n_prefix + length - 1
+                logits = jax.lax.dynamic_slice_in_dim(
+                    logits_full, pos, 1, axis=1
+                )[:, 0]
+                token, counts = sample_step(
+                    logits, temp_key, counts, u, exclude_mask, ts_range,
+                    sampling,
+                )
+                appended = jax.lax.dynamic_update_slice(
+                    buf, token[:, None], (0, length)
+                )
+                rolled = jnp.concatenate([buf[:, 1:], token[:, None]], axis=1)
+                buf = jnp.where(length >= window, rolled, appended)
+                length = jnp.minimum(length + 1, window)
+                return (buf, length, token, counts), token
+
+            init = (buf, length0, temp_key0, counts0)
+            (buf, length, last, counts), tokens = jax.lax.scan(
+                body, init, (uniforms, cond_seq), length=n_steps
+            )
+            return tokens, counts
+
+        self._jit_cache[key] = run
+        return run
+
+    def generate_exact(
+        self,
+        primer_ids: np.ndarray,
+        continuous_conditions: Optional[np.ndarray] = None,
+        discrete_prefix_ids: Optional[np.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+        uniforms: Optional[np.ndarray] = None,
+        varying_conditions: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Reference-exact generation: a full-window forward per token.
+
+        Same contract as :meth:`generate`; exists for per-step
+        ``varying_conditions`` (where KV caching is necessarily approximate
+        -- see generate()'s docstring) and as the bit-exact oracle. Roughly
+        window/2 x the FLOPs of the cached path, still batched/on-device.
+        """
+        cfg, sampling = self.cfg, self.sampling
+        primer_ids = np.asarray(primer_ids, np.int32)
+        B, P = primer_ids.shape
+
+        max_input_len = sampling.max_input_len
+        n_prefix = 0
+        prefix_arr = jnp.zeros((B, 0), jnp.int32)
+        if cfg.mode == "continuous_token":
+            max_input_len -= cfg.n_conditions  # generate.py:75-77
+        if discrete_prefix_ids is not None:
+            discrete_prefix_ids = np.asarray(discrete_prefix_ids, np.int32)
+            n_prefix = discrete_prefix_ids.shape[1]
+            max_input_len -= n_prefix  # generate.py:80-82
+            prefix_arr = jnp.asarray(discrete_prefix_ids)
+
+        n_total_steps = sampling.gen_len - 1
+        if uniforms is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(max(0, sampling.seed))
+            uniforms = jax.random.uniform(rng, (n_total_steps, B), jnp.float32)
+        else:
+            uniforms = jnp.asarray(uniforms, jnp.float32)
+            assert uniforms.shape == (n_total_steps, B)
+
+        # per-step conditions: sampled token t (1-indexed) is drawn from a
+        # forward under condition index t-1 (generate.py:110-113)
+        if varying_conditions is not None:
+            assert cfg.mode in ("continuous_concat", "continuous_token"), (
+                "per-step conditions apply to the continuous modes only"
+            )
+            vc = np.asarray(varying_conditions, np.float32)
+            assert vc.shape == (B, sampling.gen_len, 2), vc.shape
+            cond_seq = jnp.asarray(vc[:, :n_total_steps].transpose(1, 0, 2))
+        else:
+            if continuous_conditions is None:
+                cond = np.zeros((B, 2), np.float32)
+            else:
+                cond = np.asarray(continuous_conditions, np.float32)
+            cond_seq = jnp.broadcast_to(
+                jnp.asarray(cond)[None], (n_total_steps, B, 2)
+            )
+
+        W = max_input_len
+        assert P <= W, (P, W)
+        buf = np.full((B, W), self.vocab.pad_id, np.int32)
+        buf[:, :P] = primer_ids
+        run = self._exact_scan_core(n_total_steps, W, n_prefix)
+        tokens, _counts = run(
+            self.params,
+            jnp.asarray(buf),
+            jnp.asarray(P, jnp.int32),
+            jnp.asarray(primer_ids[:, 0]),
+            jnp.zeros((B,), jnp.int32),
+            uniforms,
+            cond_seq,
+            prefix_arr,
+        )
+        return np.concatenate([primer_ids, np.asarray(tokens).T], axis=1)
+
+    # ------------------------------------------------------------------
     def generate(
         self,
         primer_ids: np.ndarray,

@@ -31,6 +31,13 @@ class ModelConfig:
     output_size: int = 2  # regression head width
     n_conditions: int = 2  # continuous_token prefix slots
     remat: bool = True  # rematerialize encoder layers in the bwd pass
+    # what the bwd pass may keep from the fwd: "full" = keep nothing
+    # (recompute the whole layer), "dots" = keep matmul outputs without
+    # batch dims (QKV/FFN Dense results) and recompute only the O(T^2)
+    # attention internals -- the [T, T] score/prob tensors are the memory
+    # problem, the Dense results are the FLOPs, so "dots" buys back most of
+    # the remat recompute while still bounding activation memory
+    remat_policy: str = "dots"
 
     @property
     def effective_d_condition(self) -> int:
@@ -64,6 +71,7 @@ class ModelConfig:
     def validate(self) -> "ModelConfig":
         assert self.mode in MODES or self.mode == "regression", self.mode
         assert self.d_model % self.n_head == 0
+        assert self.remat_policy in ("full", "dots"), self.remat_policy
         return self
 
     # ---- serialization ---------------------------------------------------

@@ -212,7 +212,14 @@ class MusicTransformer(nn.Module):
 
         layer_cls = EncoderLayer
         if cfg.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(3, 4, 5))
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if getattr(cfg, "remat_policy", "full") == "dots"
+                else None  # None = save nothing, recompute everything
+            )
+            layer_cls = nn.remat(
+                EncoderLayer, static_argnums=(3, 4, 5), policy=policy
+            )
         self.enc_layers = [
             layer_cls(
                 cfg.d_model,

@@ -35,6 +35,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(-1e30)  # avoids inf-inf NaNs inside the recurrence
 
+# Default tile sizes. Large tiles amortize Mosaic's per-grid-step overhead,
+# which dominates at this model's small d_head (48): at 128x128 the flagship
+# shape runs a 12.8k-step grid of microsecond blocks and loses to XLA; at
+# 256 the same sweep is 16x fewer steps. Overridable per call.
+BLOCK_Q = 256
+BLOCK_K = 256
+
+
+def _dot(a, b, dims):
+    """dot_general in the INPUT dtype with f32 accumulation: bf16 inputs
+    keep the MXU at full rate (a f32 upcast before the dot quarters it)."""
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
 
 def _skew_band(band: jnp.ndarray, bq: int, bk: int) -> jnp.ndarray:
     """[bq, bq+bk] band -> [bq, bk] with out[a, b] = band[a, bq-1-a+b].
@@ -110,20 +124,16 @@ def _flash_kernel(
 
     @pl.when(visible)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)  # [bq, dh]
-        k = k_ref[0].astype(jnp.float32)  # [bk, dh]
-        v = v_ref[0].astype(jnp.float32)
+        q = q_ref[0]  # [bq, dh], model dtype (bf16 inputs stay bf16)
+        k = k_ref[0]  # [bk, dh]
+        v = v_ref[0]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk]
+        s = _dot(q, k, ((1,), (1,)))  # [bq, bk] f32
 
         # relative bias: contiguous E slice for this block-pair's distances
         start = max_seq - iq * bq + ik * bk - bq
-        e_slice = e_ref[pl.ds(start, bq + bk), :].astype(jnp.float32)
-        band = jax.lax.dot_general(
-            q, e_slice, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bq+bk]
+        e_slice = e_ref[pl.ds(start, bq + bk), :].astype(q.dtype)
+        band = _dot(q, e_slice, ((1,), (1,)))  # [bq, bq+bk] f32
         srel = _skew_band(band, bq, bk)
         # zero above the diagonal (j > i), matching the reference exactly --
         # this matters for the unmasked regression model
@@ -146,8 +156,9 @@ def _flash_kernel(
         p = jnp.exp(s - m_new)  # [bq, bk]
         alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        # p in the input dtype for the MXU; acc stays f32
+        acc_scr[:] = acc_scr[:] * alpha + _dot(
+            p.astype(v.dtype), v, ((1,), (0,))
         )
         m_scr[:] = m_new
 
@@ -216,10 +227,12 @@ def _prepare(q, k, v, e, causal, pad_keys, bq, bk):
 
 
 def _flash_fwd_impl(
-    q, k, v, e, causal, pad_keys, bq: int = 128, bk: int = 128,
-    return_lse: bool = False,
+    q, k, v, e, causal, pad_keys, bq: Optional[int] = None,
+    bk: Optional[int] = None, return_lse: bool = False,
 ):
     """q,k,v: [B,H,T,dh]; e: [max_seq, dh]; pad_keys: [B,T] bool or None."""
+    bq = bq or BLOCK_Q
+    bk = bk or BLOCK_K
     B, H, T, dh = q.shape
     max_seq = e.shape[0]
     qf, kf, vf, e_pad, pk, Tp, pad_t, _ = _prepare(
@@ -286,14 +299,10 @@ def _flash_fwd_impl(
 def _recompute_block(q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq,
                      scale, causal):
     """Recompute P and the (a, b) index grids for one block pair."""
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    s = _dot(q, k, ((1,), (1,)))
     start = max_seq - iq * bq + ik * bk - bq
-    e_slice = e_ref[pl.ds(start, bq + bk), :].astype(jnp.float32)
-    band = jax.lax.dot_general(
-        q, e_slice, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    e_slice = e_ref[pl.ds(start, bq + bk), :].astype(q.dtype)
+    band = _dot(q, e_slice, ((1,), (1,)))
     srel = _skew_band(band, bq, bk)
     a = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
     b = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
@@ -328,10 +337,10 @@ def _bwd_dq_de_kernel(
 
     @pl.when(visible)
     def _():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
         lse_row = lse_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
         d_row = dsum_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
         pad_row = pad_ref[0, 0, pl.ds(ik * bk, bk)]
@@ -339,23 +348,13 @@ def _bwd_dq_de_kernel(
             q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq, scale,
             causal,
         )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - d_row) * scale  # [bq, bk], scale folded
-        dq_scr[:] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dsrel = jnp.where(b <= a, ds, 0.0)
+        dp = _dot(do, v, ((1,), (1,)))
+        ds = (p * (dp - d_row) * scale).astype(q.dtype)  # [bq, bk]
+        dq_scr[:] += _dot(ds, k, ((1,), (0,)))
+        dsrel = jnp.where(b <= a, ds, jnp.zeros((), ds.dtype))
         dband = _unskew_band(dsrel, bq, bk)  # [bq, bq+bk]
-        dq_scr[:] += jax.lax.dot_general(
-            dband, e_slice, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        de_scr[pl.ds(start, bq + bk), :] += jax.lax.dot_general(
-            dband, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        dq_scr[:] += _dot(dband, e_slice, ((1,), (0,)))
+        de_scr[pl.ds(start, bq + bk), :] += _dot(dband, q, ((0,), (0,)))
 
     last = iq if causal else pl.num_programs(2) - 1
 
@@ -389,10 +388,10 @@ def _bwd_dkdv_kernel(
 
     @pl.when(visible)
     def _():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
         lse_row = lse_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
         d_row = dsum_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
         pad_row = pad_ref[0, 0, pl.ds(ik * bk, bk)]
@@ -400,16 +399,10 @@ def _bwd_dkdv_kernel(
             q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq, scale,
             causal,
         )
-        dv_scr[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - d_row) * scale
-        dk_scr[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        dv_scr[:] += _dot(p.astype(do.dtype), do, ((0,), (0,)))
+        dp = _dot(do, v, ((1,), (1,)))
+        ds = (p * (dp - d_row) * scale).astype(q.dtype)
+        dk_scr[:] += _dot(ds, q, ((0,), (0,)))
 
     @pl.when(iq == pl.num_programs(2) - 1)
     def _():
@@ -418,7 +411,9 @@ def _bwd_dkdv_kernel(
 
 
 def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
-                    bq: int = 128, bk: int = 128):
+                    bq: Optional[int] = None, bk: Optional[int] = None):
+    bq = bq or BLOCK_Q
+    bk = bk or BLOCK_K
     B, H, T, dh = q.shape
     max_seq = e.shape[0]
     qf, kf, vf, e_pad, pk, Tp, pad_t, pad3 = _prepare(

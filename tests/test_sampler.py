@@ -298,3 +298,181 @@ def test_token_identical_vs_reference(mode, topk, topp):
         uniforms=uniforms[:-1],
     )
     np.testing.assert_array_equal(song.T, ref_song)
+
+
+@pytest.mark.skipif(not conftest.reference_available(), reason="no reference")
+def test_token_identical_vs_reference_discrete():
+    """discrete_token parity: per-step condition-prefix re-prepend
+    (generate.py:105-107) AND the window shrink (generate.py:80-82) -- the
+    generation runs past max_input_len so the sliding region is covered
+    (slide_hop=1 = reference-exact slide)."""
+    import torch
+
+    ref_generate = _setup_reference_generate()
+    import models.music_multi as ref_multi
+
+    from midi_emotion_tpu.convert.torch_import import torch_state_dict_to_params
+
+    emotion_tokens = ["<V-2>", "<V2>", "<A-2>", "<A2>"]
+    vocab = DEFAULT_VOCAB.with_extra_tokens(emotion_tokens)
+    gen_len, B = 40, 2
+    max_input_len = 24  # < gen_len: forces the sliding-window path
+    torch.manual_seed(13)
+    cfg = ModelConfig(mode="discrete_token", **{**TINY, "vocab_size": len(vocab)},
+                      remat=False)
+    ref_model = ref_multi.MusicTransformerMulti(
+        embedding_dim=cfg.d_model, d_inner=cfg.d_inner, d_condition=-1,
+        vocab_size=cfg.vocab_size, num_layer=cfg.n_layer,
+        num_head=cfg.n_head, max_seq=cfg.max_seq, dropout=0.0, pad_token=0,
+    ).eval()
+    params = torch_state_dict_to_params(ref_model.state_dict(), cfg)
+    maps = vocab.get_maps()
+
+    discrete_conditions = [["<V-2>", "<A2>"], ["<V2>", "<A-2>"]]
+    rng = np.random.RandomState(17)
+    uniforms = rng.uniform(size=(gen_len, B)).astype(np.float32)
+
+    draw_idx = {"i": 0}
+
+    def fake_multinomial(probs, n, replacement=True):
+        u = torch.from_numpy(uniforms[draw_idx["i"]]).to(probs.dtype)
+        draw_idx["i"] += 1
+        cum = torch.cumsum(probs, dim=-1)
+        return torch.argmax((cum >= u[:, None]).int(), dim=-1, keepdim=True)
+
+    captured = []
+    orig_str = ref_generate.ind_tensor_to_str
+
+    def capture_str(x, *a, **k):
+        captured.append(x.cpu().numpy().copy())
+        return orig_str(x, *a, **k)
+
+    orig_multinomial = torch.multinomial
+    torch.multinomial = fake_multinomial
+    ref_generate.ind_tensor_to_str = capture_str
+    try:
+        ref_generate.generate(
+            ref_model, maps, torch.device("cpu"), out_dir="/tmp/x",
+            conditioning="discrete_token", debug=True, verbose=False,
+            amp=False, gen_len=gen_len, max_input_len=max_input_len,
+            temperatures=[1.2, 1.4], top_k=-1, top_p=0.7, penalty_coeff=0.5,
+            discrete_conditions=discrete_conditions, min_n_instruments=99,
+            primers=[["<START>"]],
+        )
+    finally:
+        torch.multinomial = orig_multinomial
+        ref_generate.ind_tensor_to_str = orig_str
+
+    ref_song = np.stack(captured, axis=1)  # [T, B]
+
+    model = MusicTransformer(cfg)
+    sp = SamplingParams(
+        gen_len=gen_len, max_input_len=max_input_len,
+        temperatures=(1.2, 1.4), top_k=-1, top_p=0.7, penalty_coeff=0.5,
+    )
+    sampler = Sampler(model, params, vocab, sp, slide_hop=1)
+    prefix = np.array(
+        [[maps["tuple2idx"][s] for s in c] for c in discrete_conditions],
+        np.int32,
+    )
+    song = sampler.generate(
+        np.ones((B, 1), np.int32),
+        discrete_prefix_ids=prefix,
+        uniforms=uniforms[:-1],
+    )
+    np.testing.assert_array_equal(song.T, ref_song)
+
+
+@pytest.mark.skipif(not conftest.reference_available(), reason="no reference")
+@pytest.mark.parametrize("mode", ["continuous_concat", "continuous_token"])
+def test_token_identical_varying_conditions(mode):
+    """Per-step interpolated conditions (generate.py:35-36, 110-113): the
+    reference re-embeds the whole window under the CURRENT condition each
+    step, so parity requires the exact (full-forward-per-token) path."""
+    import torch
+
+    ref_generate = _setup_reference_generate()
+    import models.music_multi as ref_multi
+    import models.music_continuous_token as ref_ct
+
+    from midi_emotion_tpu.convert.torch_import import torch_state_dict_to_params
+
+    gen_len, B = 24, 2
+    torch.manual_seed(23)
+    cfg = ModelConfig(mode=mode, **TINY, remat=False)
+    if mode == "continuous_token":
+        ref_model = ref_ct.MusicTransformerContinuousToken(
+            embedding_dim=cfg.d_model, d_inner=cfg.d_inner,
+            vocab_size=cfg.vocab_size, num_layer=cfg.n_layer,
+            num_head=cfg.n_head, max_seq=cfg.max_seq, dropout=0.0, pad_token=0,
+        ).eval()
+    else:
+        ref_model = ref_multi.MusicTransformerMulti(
+            embedding_dim=cfg.d_model, d_inner=cfg.d_inner,
+            d_condition=cfg.effective_d_condition, vocab_size=cfg.vocab_size,
+            num_layer=cfg.n_layer, num_head=cfg.n_head, max_seq=cfg.max_seq,
+            dropout=0.0, pad_token=0,
+        ).eval()
+    params = torch_state_dict_to_params(ref_model.state_dict(), cfg)
+    maps = DEFAULT_VOCAB.get_maps()
+
+    rng = np.random.RandomState(29)
+    uniforms = rng.uniform(size=(gen_len, B)).astype(np.float32)
+    valences = np.linspace(-0.9, 0.9, gen_len, dtype=np.float32)
+    arousals = np.linspace(0.8, -0.8, gen_len, dtype=np.float32)
+    vc = np.stack(
+        [np.stack([valences, arousals], axis=-1)] * B
+    )  # [B, gen_len, 2]
+
+    draw_idx = {"i": 0}
+
+    def fake_multinomial(probs, n, replacement=True):
+        u = torch.from_numpy(uniforms[draw_idx["i"]]).to(probs.dtype)
+        draw_idx["i"] += 1
+        cum = torch.cumsum(probs, dim=-1)
+        return torch.argmax((cum >= u[:, None]).int(), dim=-1, keepdim=True)
+
+    captured = []
+    orig_str = ref_generate.ind_tensor_to_str
+
+    def capture_str(x, *a, **k):
+        captured.append(x.cpu().numpy().copy())
+        return orig_str(x, *a, **k)
+
+    orig_multinomial = torch.multinomial
+    torch.multinomial = fake_multinomial
+    ref_generate.ind_tensor_to_str = capture_str
+    try:
+        ref_generate.generate(
+            ref_model, maps, torch.device("cpu"), out_dir="/tmp/x",
+            conditioning=mode, debug=True, verbose=False, amp=False,
+            gen_len=gen_len, max_input_len=64, temperatures=[1.2, 1.4],
+            top_k=-1, top_p=0.7, penalty_coeff=0.5,
+            varying_condition=[
+                torch.from_numpy(np.stack([valences] * B)),
+                torch.from_numpy(np.stack([arousals] * B)),
+            ],
+            # ignored for generation when varying_condition is set, but its
+            # absence crashes the reference's own redo bookkeeping
+            # (generate.py:247 subscripts None)
+            continuous_conditions=torch.zeros(B, 2),
+            min_n_instruments=99, primers=[["<START>"]],
+        )
+    finally:
+        torch.multinomial = orig_multinomial
+        ref_generate.ind_tensor_to_str = orig_str
+
+    ref_song = np.stack(captured, axis=1)  # [T, B]
+
+    model = MusicTransformer(cfg)
+    sp = SamplingParams(
+        gen_len=gen_len, max_input_len=64, temperatures=(1.2, 1.4),
+        top_k=-1, top_p=0.7, penalty_coeff=0.5,
+    )
+    sampler = Sampler(model, params, DEFAULT_VOCAB, sp)
+    song = sampler.generate_exact(
+        np.ones((B, 1), np.int32),
+        varying_conditions=vc,
+        uniforms=uniforms[:-1],
+    )
+    np.testing.assert_array_equal(song.T, ref_song)

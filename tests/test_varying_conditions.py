@@ -50,3 +50,26 @@ def test_varying_rejected_for_prefix_modes():
     vc = np.zeros((1, 16, 2), np.float32)
     with pytest.raises(AssertionError):
         s.generate(np.ones((1, 1), np.int32), varying_conditions=vc)
+
+
+@pytest.mark.parametrize("mode", ["none", "continuous_concat"])
+def test_exact_path_matches_cached_path(mode):
+    """With CONSTANT conditions the KV-cached decode is numerically the
+    full forward, so the exact (full-forward-per-token) path must produce
+    identical tokens -- including through the sliding region (gen_len >
+    max_input_len, slide_hop=1 = reference-exact slide)."""
+    cfg = ModelConfig(mode=mode, **TINY)
+    model = MusicTransformer(cfg)
+    params = init_params(model, jax.random.PRNGKey(1))
+    sp = SamplingParams(gen_len=40, max_input_len=24, seed=9)
+    s = Sampler(model, params, DEFAULT_VOCAB, sp, slide_hop=1)
+    B = 2
+    primers = np.ones((B, 1), np.int32)
+    cond = (
+        np.array([[0.5, -0.5], [-0.2, 0.8]], np.float32)
+        if mode == "continuous_concat"
+        else None
+    )
+    a = s.generate(primers, continuous_conditions=cond)
+    b = s.generate_exact(primers, continuous_conditions=cond)
+    np.testing.assert_array_equal(a, b)

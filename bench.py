@@ -202,13 +202,16 @@ def main():
         result["train_tokens_per_sec_per_chip"] = round(TB * T / train_s / n_chips, 1)
         result["train_batch"] = TB
 
-    baseline = get_baseline(G, 4) if not args.quick else float("nan")
+    # SAME-BATCH baseline: the reference loop fitted/integrated at the same
+    # batch size as the TPU run, so vs_baseline is apples-to-apples
+    baseline = get_baseline(G, B) if not args.quick else float("nan")
     result["vs_baseline"] = (
         round(gen_tps / baseline, 2) if np.isfinite(baseline) else None
     )
     result["baseline_cpu_tokens_per_sec"] = (
         round(baseline, 3) if np.isfinite(baseline) else None
     )
+    result["baseline_batch"] = B
     print(json.dumps(result))
 
 

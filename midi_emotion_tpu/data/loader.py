@@ -527,6 +527,75 @@ class LoaderGenerations:
             }
 
 
+# set in the parent right before the worker pool forks; children inherit it
+# by copy-on-write, so the (potentially large) Loader is never pickled
+_FORK_LOADER: Optional["Loader"] = None
+
+
+def _collect_in_worker(seed: int, indices: List[int]):
+    loader = _FORK_LOADER
+    # per-task RNG (torch DataLoader-style per-worker seeding): redraws and
+    # augmentation jitter differ per batch but are reproducible from the
+    # parent's master seed
+    loader.rng = np.random.RandomState(seed)
+    return loader.collect(indices)
+
+
+def epochs_multiprocess(
+    loader: "Loader",
+    batch_size: int,
+    num_workers: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    prefetch_factor: int = 2,
+):
+    """Endless batch stream materialized by ``num_workers`` forked worker
+    processes -- the reference's DataLoader(num_workers=8) (train.py:87-93).
+
+    The parent draws the epoch order (the same policy as :meth:`Loader.
+    batches`); workers run :meth:`Loader.collect` (shard IO + tokenization +
+    augmentation, the CPU-bound part) and ship finished numpy batches back.
+    Submission is bounded at ``num_workers * prefetch_factor`` outstanding
+    batches; results are yielded in order, so the stream is deterministic
+    given ``seed`` regardless of worker count or scheduling."""
+    if len(loader.data) == 0:
+        raise ValueError(
+            "training split is empty -- the feature file / filters left "
+            "no usable songs (check --feature_file and --full_dataset)"
+        )
+    import multiprocessing as mp
+    from collections import deque
+
+    global _FORK_LOADER
+    _FORK_LOADER = loader
+    ctx = mp.get_context("fork")
+    pool = ctx.Pool(num_workers)
+    master = np.random.RandomState(seed + 7919)
+
+    def tasks():
+        while True:
+            order = np.arange(len(loader.data))
+            if shuffle:
+                master.shuffle(order)
+            if len(order) < batch_size:
+                pad = master.randint(len(loader.data), size=batch_size - len(order))
+                order = np.concatenate([order, pad])
+            for i in range(0, len(order) - batch_size + 1, batch_size):
+                chunk = [int(j) for j in order[i : i + batch_size]]
+                yield int(master.randint(2**31)), chunk
+
+    task_iter = tasks()
+    pending: deque = deque()
+    try:
+        while True:
+            while len(pending) < num_workers * prefetch_factor:
+                pending.append(pool.apply_async(_collect_in_worker, next(task_iter)))
+            yield pending.popleft().get()
+    finally:
+        pool.terminate()
+        pool.join()
+
+
 def prefetch(iterator, size: int = 2):
     """Background-thread batch prefetcher -- the host-side pipelining role
     of the reference's DataLoader(num_workers=8) (train.py:87-93). Keeps

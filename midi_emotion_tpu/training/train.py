@@ -246,9 +246,21 @@ class Runner:
         args = self.args
         from ..data.loader import prefetch
 
-        it = self.train_dataset.epochs(args.batch_size, shuffle=not args.debug)
-        if args.num_workers > 0:
-            it = prefetch(it, size=4)
+        if args.num_workers > 1 and not args.overfit:
+            # real worker processes (the reference's num_workers=8,
+            # train.py:87-93); overfit stays single-process so the cached
+            # one-sample short-circuit keeps batches identical
+            from ..data.loader import epochs_multiprocess
+
+            it = epochs_multiprocess(
+                self.train_dataset, args.batch_size,
+                num_workers=args.num_workers, shuffle=not args.debug,
+                seed=max(args.seed, 0),
+            )
+        else:
+            it = self.train_dataset.epochs(args.batch_size, shuffle=not args.debug)
+            if args.num_workers > 0:
+                it = prefetch(it, size=4)
         train_loss = 0.0
         n_elements_total = 0
         interval_start = time.time()

@@ -189,3 +189,41 @@ def test_prefetch_preserves_stream(tmp_path):
     assert len(direct) == len(fetched)
     for x, y in zip(direct, fetched):
         np.testing.assert_array_equal(x["input"], y["input"])
+
+
+def test_multiprocess_epochs_shapes_and_determinism(tmp_path):
+    """Worker-pool loading (the reference's num_workers=8): batches have
+    training shapes, and the stream is deterministic given the seed
+    regardless of worker count."""
+    from midi_emotion_tpu.data.loader import epochs_multiprocess
+
+    folder, records = make_dataset(str(tmp_path))
+    L = 48
+    mk = lambda: Loader(
+        folder, records, L, "continuous_concat", min_n_instruments=2, seed=1
+    )
+
+    def take(n_workers, n_batches=5):
+        it = epochs_multiprocess(mk(), 4, num_workers=n_workers, seed=3)
+        out = [next(it) for _ in range(n_batches)]
+        it.close()  # terminates the pool
+        return out
+
+    gold = mk().collect([0, 1, 2, 3])  # single-process shapes
+    a = take(2)
+    b = take(3)
+    for ba, bb in zip(a, b):
+        assert ba["input"].shape == gold["input"].shape
+        assert ba["condition"].shape == gold["condition"].shape
+        assert ba["target"].shape == gold["target"].shape
+        np.testing.assert_array_equal(ba["input"], bb["input"])
+        np.testing.assert_array_equal(ba["target"], bb["target"])
+
+
+def test_multiprocess_epochs_empty_split_raises(tmp_path):
+    from midi_emotion_tpu.data.loader import epochs_multiprocess
+
+    folder, records = make_dataset(str(tmp_path))
+    loader = Loader(folder, [], 48, "none", min_n_instruments=2)
+    with pytest.raises(ValueError):
+        next(epochs_multiprocess(loader, 4, num_workers=2))

@@ -1,9 +1,18 @@
 """Emotion-feature preprocessing.
 
-Reproduces ``/root/reference/src/data/preprocess_features.py`` semantics:
-CSV -> per-song records with valence/arousal labels scaled to [-1, 1]
-(or quantile-binned into discrete emotion token symbols), IQR outlier
-removal, and the deterministic matched-data 5% test split sorted by file.
+Record-for-record reimplementation of the semantics of
+``/root/reference/src/data/preprocess_features.py`` (pinned by
+tests/test_loader.py::test_feature_parity_with_reference) on plain numpy
+arrays: CSV -> per-song records with valence/arousal labels min-max scaled
+to [-1, 1] (or quantile-binned into discrete emotion token symbols), IQR
+outlier removal, and the deterministic 5% test split of the matched subset
+sorted by file.
+
+Two reference quirks are reproduced deliberately:
+ * the split boundary row belongs to BOTH train and test (the reference's
+   inclusive ``.loc`` slicing, preprocess_features.py:77-78);
+ * the top quantile edge is nudged by 1e-6 so the max value lands in the
+   last real bin (preprocess_features.py:55).
 """
 
 from __future__ import annotations
@@ -11,7 +20,20 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 import numpy as np
-import pandas as pd
+
+
+def _binned(x: np.ndarray, prefix: str, n_bins: int) -> np.ndarray:
+    """Quantile-bin a scaled feature into '<V-2>'..'<V2>'-style symbols
+    (NaN -> None)."""
+    if n_bins % 2 == 0:
+        ids = list(range(-n_bins // 2, 0)) + list(range(1, n_bins // 2 + 1))
+    else:
+        ids = list(range(-(n_bins - 1) // 2, (n_bins - 1) // 2 + 1))
+    names = np.array([f"<{prefix}{b}>" for b in ids] + [None], object)
+    edges = np.nanquantile(x, np.linspace(0.0, 1.0, n_bins + 1))
+    edges[-1] += 1e-6
+    # NaN searchsorts past every edge -> index n_bins -> the None bucket
+    return names[np.digitize(x, edges) - 1]
 
 
 def preprocess_features(
@@ -25,75 +47,81 @@ def preprocess_features(
 ) -> Tuple[List[dict], List[dict]]:
     """Returns (train_records, test_records), each a list of dicts with
     keys "file" and (if conditional) "valence"/"arousal"."""
-    data = pd.read_csv(feature_file)
-    mapper = {"valence": "valence", "note_density_per_instrument": "arousal"}
-    data = data.rename(columns=mapper)
-    columns = data.columns.to_list()
+    import pandas as pd  # CSV ingestion only (robust NaN/bool parsing)
 
-    # filters (preprocess_features.py:15-17)
-    data = data[data["n_instruments"] >= min_n_instruments]
-    data = data[data["valence"] != 0]
+    raw = pd.read_csv(feature_file)
+    files = raw["file"].to_numpy()
+    valence = raw["valence"].to_numpy(np.float64)
+    arousal = raw["note_density_per_instrument"].to_numpy(np.float64)
+    matched = raw["is_matched"].to_numpy(bool)
 
-    # IQR outlier removal (:20-32)
-    feature_labels = list(mapper.values())
-    outlier_indices: List = []
-    for label in feature_labels:
-        series = data[label]
-        q1, q3 = series.quantile(0.25), series.quantile(0.75)
-        iqr = q3 - q1
-        outlier_indices += series[series < q1 - outlier_range * iqr].index.to_list()
-        outlier_indices += series[series > q3 + outlier_range * iqr].index.to_list()
-    data = data.drop(outlier_indices)
+    with np.errstate(invalid="ignore"):
+        # row filters: enough instruments, nonzero valence (NaN labels kept)
+        keep = (raw["n_instruments"].to_numpy() >= min_n_instruments) & (
+            valence != 0
+        )
+        files, valence, arousal, matched = (
+            a[keep] for a in (files, valence, arousal, matched)
+        )
 
-    # min-max scale to [-1, 1] (:35-40)
-    for label in feature_labels:
-        series = data[label]
-        lo, hi = series.min(), series.max()
-        data[label] = (data[label] - lo) / (hi - lo) * 2 - 1
+        # IQR outlier removal, both features judged on the same base rows
+        def inlier(x: np.ndarray) -> np.ndarray:
+            q1, q3 = np.nanquantile(x, 0.25), np.nanquantile(x, 0.75)
+            margin = outlier_range * (q3 - q1)
+            return ~((x < q1 - margin) | (x > q3 + margin))  # NaN stays
+
+        keep = inlier(valence) & inlier(arousal)
+        files, valence, arousal, matched = (
+            a[keep] for a in (files, valence, arousal, matched)
+        )
+
+    def rescale(x: np.ndarray) -> np.ndarray:
+        lo, hi = np.nanmin(x), np.nanmax(x)
+        return (x - lo) / (hi - lo) * 2 - 1
+
+    valence, arousal = rescale(valence), rescale(arousal)
 
     if n_bins is not None:
-        # quantile binning into emotion token symbols (:42-64)
-        quantile_indices = np.linspace(0, 1, n_bins + 1)
-        for label in feature_labels:
-            if n_bins % 2 == 0:
-                bin_ids = list(range(-n_bins // 2, 0)) + list(
-                    range(1, n_bins // 2 + 1)
-                )
-            else:
-                bin_ids = list(range(-(n_bins - 1) // 2, (n_bins - 1) // 2 + 1))
-            token_labels = [f"<{label[0].upper()}{b}>" for b in bin_ids]
-            token_labels.append(None)  # NaN bucket
-            series = data[label]
-            quantiles = [series.quantile(q) for q in quantile_indices]
-            quantiles[-1] += 1e-6
-            digitized = np.digitize(series.to_numpy(), quantiles)
-            data[label] = [token_labels[i - 1] for i in digitized]
-    else:
-        data = data.where(pd.notnull(data), None)
+        valence = _binned(valence, "V", n_bins)
+        arousal = _binned(arousal, "A", n_bins)
 
-    # deterministic split of matched data (:69-86)
-    matched = data[data["is_matched"]]
-    unmatched = data[~data["is_matched"]]
-    matched = matched.sort_values("file").reset_index(drop=True)
-    n_test = round(len(matched) * test_ratio)
-    test_split = matched.loc[len(matched) - n_test : len(matched)]
-    train_split = matched.loc[: len(matched) - n_test]
+    def labeled(idx: np.ndarray) -> np.ndarray:
+        """Rows whose BOTH labels are present."""
+        if n_bins is not None:
+            ok = (valence[idx] != None) & (arousal[idx] != None)  # noqa: E711
+        else:
+            ok = ~(np.isnan(valence[idx]) | np.isnan(arousal[idx]))
+        return idx[ok]
+
+    # deterministic split: matched subset sorted by file; the boundary row
+    # appears in both splits (reference parity, see module docstring)
+    m_idx = np.flatnonzero(matched)
+    m_idx = m_idx[np.argsort(files[m_idx], kind="stable")]
+    n_test = round(len(m_idx) * test_ratio)
+    test_idx = m_idx[len(m_idx) - n_test :]
+    train_idx = m_idx[: len(m_idx) - n_test + 1]
     if not use_labeled_only:
-        train_split = pd.concat([train_split, unmatched])
-        train_split = train_split.sort_values("file").reset_index(drop=True)
+        u_idx = np.flatnonzero(~matched)
+        train_idx = np.concatenate([train_idx, u_idx])
+        train_idx = train_idx[np.argsort(files[train_idx], kind="stable")]
 
-    splits = [train_split, test_split]
-    columns_to_drop = [c for c in columns if c not in ("file", "valence", "arousal")]
-    if not conditional:
-        columns_to_drop += ["valence", "arousal"]
+    test_idx = labeled(test_idx)
+    if use_labeled_only:
+        train_idx = labeled(train_idx)
 
-    for label in feature_labels:
-        splits[1] = splits[1][~splits[1][label].isnull()]
-        if use_labeled_only:
-            splits[0] = splits[0][~splits[0][label].isnull()]
+    def records(idx: np.ndarray) -> List[dict]:
+        out = []
+        for i in idx:
+            rec = {"file": files[i]}
+            if conditional:
+                for key, col in (("valence", valence), ("arousal", arousal)):
+                    v = col[i]
+                    if n_bins is None:
+                        v = None if np.isnan(v) else float(v)
+                    rec[key] = v
+                out.append(rec)
+            else:
+                out.append(rec)
+        return out
 
-    out = []
-    for split in splits:
-        split = split.drop(columns=columns_to_drop, errors="ignore")
-        out.append(split.to_dict("records"))
-    return out[0], out[1]
+    return records(train_idx), records(test_idx)

@@ -516,7 +516,10 @@ class LoaderGenerations:
         w, c = self.data[idx]
         return w, c, None
 
-    def batches(self, batch_size: int, drop_last: bool = True):
+    def batches(self, batch_size: int, drop_last: bool = False):
+        """drop_last defaults False like the torch DataLoader the reference
+        evaluates generations with -- a partial final batch must survive or
+        small generation sets (n < batch_size) evaluate to nothing."""
         n = len(self.data)
         end = n - batch_size + 1 if drop_last else n
         for i in range(0, end, batch_size):

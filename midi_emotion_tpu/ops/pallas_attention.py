@@ -120,7 +120,9 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    visible = (ik <= iq) if causal else (ik >= 0)
+    # block pair visible iff any key position can be <= some query position
+    # (compare POSITIONS, not block indices -- bq and bk may differ)
+    visible = (ik * bk <= iq * bq + bq - 1) if causal else (ik >= 0)
 
     @pl.when(visible)
     def _compute():
@@ -162,7 +164,7 @@ def _flash_kernel(
         )
         m_scr[:] = m_new
 
-    last = iq if causal else pl.num_programs(2) - 1
+    last = (iq * bq + bq - 1) // bk if causal else pl.num_programs(2) - 1
 
     @pl.when(ik == last)
     def _finalize():
@@ -202,7 +204,7 @@ def _prepare(q, k, v, e, causal, pad_keys, bq, bk):
     B, H, T, dh = q.shape
     max_seq = e.shape[0]
     assert T <= max_seq, (T, max_seq)
-    Tp = _round_up(T, max(bq, bk))
+    Tp = _round_up(T, math.lcm(bq, bk))
     pad_t = Tp - T
 
     def pad3(x):
@@ -218,7 +220,9 @@ def _prepare(q, k, v, e, causal, pad_keys, bq, bk):
     pk = pk[:, None, :]  # [B, 1, Tp] -- keeps the block tiling legal
 
     e_pad = jnp.pad(e.astype(jnp.float32), ((pad_t, 0), (0, 0)))
-    tail = Tp if not causal else bk
+    # causal: the diagonal-most visible block pair reads up to
+    # max_seq - 1 + bq + bk; rows past max_seq are masked out in-kernel
+    tail = Tp if not causal else bq + bk
     e_pad = jnp.pad(e_pad, ((0, tail), (0, 0)))
 
     BH = B * H
@@ -333,7 +337,7 @@ def _bwd_dq_de_kernel(
     def _():
         de_scr[:] = jnp.zeros_like(de_scr)
 
-    visible = (ik <= iq) if causal else (ik >= 0)
+    visible = (ik * bk <= iq * bq + bq - 1) if causal else (ik >= 0)
 
     @pl.when(visible)
     def _():
@@ -349,14 +353,16 @@ def _bwd_dq_de_kernel(
             causal,
         )
         dp = _dot(do, v, ((1,), (1,)))
-        ds = (p * (dp - d_row) * scale).astype(q.dtype)  # [bq, bk]
-        dq_scr[:] += _dot(ds, k, ((1,), (0,)))
-        dsrel = jnp.where(b <= a, ds, jnp.zeros((), ds.dtype))
-        dband = _unskew_band(dsrel, bq, bk)  # [bq, bq+bk]
+        ds_f32 = p * (dp - d_row) * scale  # [bq, bk]
+        dq_scr[:] += _dot(ds_f32.astype(q.dtype), k, ((1,), (0,)))
+        # the unskew rolls must run in f32 (Mosaic's dynamic_rotate has no
+        # sub-32-bit lowering); cast to the matmul dtype afterwards
+        dsrel = jnp.where(b <= a, ds_f32, 0.0)
+        dband = _unskew_band(dsrel, bq, bk).astype(q.dtype)  # [bq, bq+bk]
         dq_scr[:] += _dot(dband, e_slice, ((1,), (0,)))
         de_scr[pl.ds(start, bq + bk), :] += _dot(dband, q, ((0,), (0,)))
 
-    last = iq if causal else pl.num_programs(2) - 1
+    last = (iq * bq + bq - 1) // bk if causal else pl.num_programs(2) - 1
 
     @pl.when(ik == last)
     def _():
@@ -384,7 +390,7 @@ def _bwd_dkdv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    visible = (iq >= ik) if causal else (iq >= 0)
+    visible = (iq * bq + bq - 1 >= ik * bk) if causal else (iq >= 0)
 
     @pl.when(visible)
     def _():
@@ -401,7 +407,7 @@ def _bwd_dkdv_kernel(
         )
         dv_scr[:] += _dot(p.astype(do.dtype), do, ((0,), (0,)))
         dp = _dot(do, v, ((1,), (1,)))
-        ds = (p * (dp - d_row) * scale).astype(q.dtype)
+        ds = ((p * (dp - d_row)) * scale).astype(q.dtype)
         dk_scr[:] += _dot(ds, q, ((0,), (0,)))
 
     @pl.when(iq == pl.num_programs(2) - 1)

@@ -150,3 +150,37 @@ def test_skew_band_semantics():
         for b in range(bk):
             want[a, b] = np.asarray(band)[a, bq - 1 - a + b]
     np.testing.assert_array_equal(np.asarray(out), want)
+
+
+@pytest.mark.parametrize("bq,bk", [(64, 128), (128, 64)])
+def test_flash_rectangular_blocks(bq, bk):
+    """bq != bk: the causal block-visibility/finalize arithmetic must
+    compare positions, not block indices (found as loss=NaN on hardware)."""
+    B, H, T, dh, max_seq = 1, 2, 320, 16, 512
+    q, k, v = _rand((B, H, T, dh), 0), _rand((B, H, T, dh), 1), _rand((B, H, T, dh), 2)
+    e = _rand((max_seq, dh), 3)
+    want = relative_attention(q, k, v, e, causal=True, pad_keys=None, impl="xla")
+
+    def loss_ref(q, k, v, e):
+        return (relative_attention(q, k, v, e, True, None, "xla") ** 2).sum()
+
+    gw = jax.grad(loss_ref, argnums=(0, 3))(q, k, v, e)
+
+    old = pallas_attention.BLOCK_Q, pallas_attention.BLOCK_K
+    pallas_attention.BLOCK_Q, pallas_attention.BLOCK_K = bq, bk
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = pallas_attention.flash_relative_attention(q, k, v, e, True, None)
+
+            def loss_flash(q, k, v, e):
+                return (
+                    pallas_attention.flash_relative_attention(q, k, v, e, True, None)
+                    ** 2
+                ).sum()
+
+            gg = jax.grad(loss_flash, argnums=(0, 3))(q, k, v, e)
+    finally:
+        pallas_attention.BLOCK_Q, pallas_attention.BLOCK_K = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gg[0]), np.asarray(gw[0]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gg[1]), np.asarray(gw[1]), rtol=2e-4, atol=2e-4)

@@ -13,13 +13,16 @@ the relative bias per block pair directly from the learned table E:
 
 Per (q-block, k-block) the needed rows of E form one contiguous slice, so
 ``q_blk @ E_slice^T`` gives a [bq, bq+bk] band whose diagonals are the
-bias; the band is realigned to [bq, bk] with a log2(bq)-step variable
-roll-by-row-index (bit-decomposed ``pltpu.roll`` + select) -- the blockwise
-form of the reference's pad-reshape "skewing" trick.
+bias; the band is realigned to [bq, bk] with a log2(bq)-step
+roll-by-row-index decomposition (static slice+concat rolls + selects, run
+in the input dtype) -- the blockwise form of the reference's pad-reshape
+"skewing" trick, at O(T) transient memory. An alternative that hoists the
+skew to XLA as a [B, H, T, T] bf16 pre-skewed bias was measured SLOWER on
+v5e at the flagship shape (the materialization + skew copies cost more HBM
+time than the in-kernel rolls cost VMEM time), so it was removed.
 
-Backward runs through a custom VJP that recomputes with the XLA reference
-implementation (rematerialized flash backward kernel is a later
-optimization); forward-only callers (prefill, eval) get the full benefit.
+Backward is fused too: dq/de and dk/dv kernel pairs recompute P blockwise
+from the lse saved by the forward.
 """
 
 from __future__ import annotations
@@ -50,20 +53,27 @@ def _dot(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
+def _roll_right(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Static cyclic roll along axis 1 as slice+concat. Unlike
+    ``pltpu.roll`` (tpu.dynamic_rotate, 32-bit-only lowering) this works in
+    bf16, which halves the VMEM traffic of the skew -- the dominant cost of
+    the band strategy at this model's small d_head."""
+    return jnp.concatenate([x[:, -s:], x[:, :-s]], axis=1)
+
+
 def _skew_band(band: jnp.ndarray, bq: int, bk: int) -> jnp.ndarray:
     """[bq, bq+bk] band -> [bq, bk] with out[a, b] = band[a, bq-1-a+b].
 
     Implemented as per-row roll-right by the row index (bit-decomposed into
-    log2(bq) whole-array rolls), which places the wanted window of every
-    row at columns [bq-1, bq-1+bk).
+    log2(bq) whole-array static rolls + selects), which places the wanted
+    window of every row at columns [bq-1, bq-1+bk).
     """
     L = bq + bk
     rows = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 0)
     x = band
     shift = 1
     while shift < bq:
-        rolled = pltpu.roll(x, shift, axis=1)
-        x = jnp.where((rows & shift) != 0, rolled, x)
+        x = jnp.where((rows & shift) != 0, _roll_right(x, shift), x)
         shift *= 2
     return x[:, bq - 1 : bq - 1 + bk]
 
@@ -87,8 +97,7 @@ def _unskew_band(dsrel: jnp.ndarray, bq: int, bk: int) -> jnp.ndarray:
     shift = 1
     while shift < bq:
         # roll LEFT by `shift` == cyclic roll right by L - shift
-        rolled = pltpu.roll(x, L - shift, axis=1)
-        x = jnp.where((rows & shift) != 0, rolled, x)
+        x = jnp.where((rows & shift) != 0, _roll_right(x, L - shift), x)
         shift *= 2
     return x
 
@@ -132,11 +141,12 @@ def _flash_kernel(
 
         s = _dot(q, k, ((1,), (1,)))  # [bq, bk] f32
 
-        # relative bias: contiguous E slice for this block-pair's distances
+        # relative bias: contiguous E slice for this block-pair's distances;
+        # the skew runs in the input dtype (bf16 halves its VMEM traffic)
         start = max_seq - iq * bq + ik * bk - bq
         e_slice = e_ref[pl.ds(start, bq + bk), :].astype(q.dtype)
-        band = _dot(q, e_slice, ((1,), (1,)))  # [bq, bq+bk] f32
-        srel = _skew_band(band, bq, bk)
+        band = _dot(q, e_slice, ((1,), (1,))).astype(q.dtype)
+        srel = _skew_band(band, bq, bk).astype(jnp.float32)
         # zero above the diagonal (j > i), matching the reference exactly --
         # this matters for the unmasked regression model
         a = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
@@ -245,14 +255,26 @@ def _flash_fwd_impl(
     BH = B * H
 
     grid = (BH, Tp // bq, Tp // bk)
+    common_in_specs = [
+        pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, dh), lambda bh, iq, ik: (bh, ik, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, dh), lambda bh, iq, ik: (bh, ik, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    pad_spec = pl.BlockSpec((1, 1, Tp), lambda bh, iq, ik: (bh // H, 0, 0),
+                            memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _flash_kernel,
-        bq=bq,
-        bk=bk,
-        max_seq=max_seq + pad_t,  # front padding shifts the distance origin
-        scale=1.0 / math.sqrt(dh),
-        causal=causal,
+        _flash_kernel, bq=bq, bk=bk,
+        max_seq=max_seq + pad_t,  # front padding shifts distance origin
+        scale=1.0 / math.sqrt(dh), causal=causal,
     )
+    operands = (qf, kf, vf, e_pad, pk)
+    in_specs = common_in_specs + [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # e_pad, full
+        pad_spec,
+    ]
     out, lse = pl.pallas_call(
         kernel,
         out_shape=(
@@ -260,17 +282,7 @@ def _flash_fwd_impl(
             jax.ShapeDtypeStruct((BH, 1, Tp), jnp.float32),
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, dh), lambda bh, iq, ik: (bh, ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, dh), lambda bh, iq, ik: (bh, ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # e_pad, full
-            pl.BlockSpec((1, 1, Tp), lambda bh, iq, ik: (bh // H, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
                          memory_space=pltpu.VMEM),
@@ -287,7 +299,7 @@ def _flash_fwd_impl(
             bytes_accessed=4 * BH * Tp * dh * 4,
             transcendentals=BH * Tp * Tp,
         ),
-    )(qf, kf, vf, e_pad, pk)
+    )(*operands)
     out = out.reshape(B, H, Tp, dh)
     out = out[:, :, :T, :] if pad_t else out
     if return_lse:
@@ -306,8 +318,8 @@ def _recompute_block(q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq,
     s = _dot(q, k, ((1,), (1,)))
     start = max_seq - iq * bq + ik * bk - bq
     e_slice = e_ref[pl.ds(start, bq + bk), :].astype(q.dtype)
-    band = _dot(q, e_slice, ((1,), (1,)))
-    srel = _skew_band(band, bq, bk)
+    band = _dot(q, e_slice, ((1,), (1,))).astype(q.dtype)
+    srel = _skew_band(band, bq, bk).astype(jnp.float32)
     a = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
     b = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
     srel = jnp.where(b <= a, srel, 0.0)
@@ -354,11 +366,11 @@ def _bwd_dq_de_kernel(
         )
         dp = _dot(do, v, ((1,), (1,)))
         ds_f32 = p * (dp - d_row) * scale  # [bq, bk]
-        dq_scr[:] += _dot(ds_f32.astype(q.dtype), k, ((1,), (0,)))
-        # the unskew rolls must run in f32 (Mosaic's dynamic_rotate has no
-        # sub-32-bit lowering); cast to the matmul dtype afterwards
-        dsrel = jnp.where(b <= a, ds_f32, 0.0)
-        dband = _unskew_band(dsrel, bq, bk).astype(q.dtype)  # [bq, bq+bk]
+        ds = ds_f32.astype(q.dtype)
+        dq_scr[:] += _dot(ds, k, ((1,), (0,)))
+        # the unskew runs in the input dtype (static slice+concat rolls)
+        dsrel = jnp.where(b <= a, ds, jnp.zeros((), ds.dtype))
+        dband = _unskew_band(dsrel, bq, bk)  # [bq, bq+bk]
         dq_scr[:] += _dot(dband, e_slice, ((1,), (0,)))
         de_scr[pl.ds(start, bq + bk), :] += _dot(dband, q, ((0,), (0,)))
 

@@ -26,7 +26,7 @@ FLAGSHIP = dict(
 B, T = 8, 1216
 
 
-def run(remat, policy, attn, n_steps=3):
+def run(remat, policy, attn, n_steps=10):
     cfg = ModelConfig(**FLAGSHIP, remat=remat, remat_policy=policy).validate()
     model = MusicTransformer(cfg, dtype=jnp.bfloat16, attn_impl=attn)
     params = init_params(model, jax.random.PRNGKey(0))

@@ -96,7 +96,7 @@ class Sampler:
         """Pad per-layer KV buffers to w_out, leaf by leaf, so old buffers
         free as soon as their pad completes (an in-jit whole-cache pad
         holds both generations live -> OOM at large batch)."""
-        w_in = cache["k"][0].shape[2]
+        w_in = cache["k"][0].shape[1]
         if w_in == w_out:
             return cache
         grow = w_out - w_in
@@ -107,7 +107,7 @@ class Sampler:
             # generations live (~2x); safe because generate() disables
             # staging when the full cache exceeds 3 GB.
             def pad_all(c):
-                pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, grow), (0, 0)))
+                pad = lambda x: jnp.pad(x, ((0, 0), (0, grow), (0, 0)))
                 return {
                     "k": tuple(pad(k) for k in c["k"]),
                     "v": tuple(pad(v) for v in c["v"]),
@@ -395,7 +395,10 @@ class Sampler:
         full_cache_bytes = (
             2 * cfg.n_layer * B * cfg.n_head * w_max * cfg.d_head * itemsize
         )
-        if full_cache_bytes > 3e9:
+        # worst transition holds old + new stage live (< 2x full); the
+        # time-major cache layout is unpadded, so up to ~13 GB of the
+        # 16 GB HBM can be cache before staging must be disabled
+        if full_cache_bytes > 6.5e9:
             stage = w_max
 
         def fetch_song() -> np.ndarray:

@@ -37,7 +37,9 @@ from ..ops.attention import decode_rel_attention, relative_attention
 from .config import ModelConfig
 from .positional import sinusoid_table
 
-# Cache pytree: {"k": L-tuple of [B, H, W, dh], "v": same, "length": int32 []}
+# Cache pytree: {"k": L-tuple of [B, W, d_model] time-major buffers (the
+# merged channel axis is a multiple of 128 lanes, so the cache never pads;
+# see ops.attention.decode_rel_attention), "v": same, "length": int32 []}
 Cache = Dict[str, Any]
 
 def _uniform_pm(scale: float):
@@ -104,20 +106,20 @@ class RelativeGlobalAttention(nn.Module):
         v_cache: jnp.ndarray,
         length: jnp.ndarray,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """One-token step. x_t: [B, d]; caches [B, H, W, dh]; length counts
-        valid entries including the current token."""
+        """One-token step. x_t: [B, d]; caches [B, W, d] time-major (see
+        decode_rel_attention's layout rationale); length counts valid
+        entries including the current token."""
         B = x_t.shape[0]
         dh = self.d_model // self.n_head
-        split = lambda y: y.reshape(B, self.n_head, dh)
-        q = split(self.wq(x_t))
-        k_t = split(self.wk(x_t))
-        v_t = split(self.wv(x_t))
+        q = self.wq(x_t).reshape(B, self.n_head, dh)
+        k_t = self.wk(x_t)  # [B, d] -- cache rows stay channel-merged
+        v_t = self.wv(x_t)
         pos = length - 1
         k_cache = jax.lax.dynamic_update_slice_in_dim(
-            k_cache, k_t[:, :, None, :], pos, axis=2
+            k_cache, k_t[:, None, :], pos, axis=1
         )
         v_cache = jax.lax.dynamic_update_slice_in_dim(
-            v_cache, v_t[:, :, None, :], pos, axis=2
+            v_cache, v_t[:, None, :], pos, axis=1
         )
         e = self.e_table.astype(self.dtype)
         out = decode_rel_attention(q, k_cache, v_cache, e, length)
@@ -319,8 +321,11 @@ class MusicTransformer(nn.Module):
         window: int,
     ) -> Tuple[jnp.ndarray, Cache]:
         """Run the prompt through the full path, capturing K/V into
-        fixed-size [B, H, window, dh] buffers. Returns (last-position
-        logits [B, vocab], cache)."""
+        fixed-size time-major [B, window, d_model] buffers (minor dim is
+        the merged channel axis -- a multiple of 128 lanes, so the cache
+        never pays the dh=48 -> 128 lane padding; see
+        decode_rel_attention). Returns (last-position logits [B, vocab],
+        cache)."""
         cfg = self.config
         x, causal, pad_keys = self._embed(tokens, condition)
         B = x.shape[0]
@@ -329,9 +334,11 @@ class MusicTransformer(nn.Module):
         vs: List[jnp.ndarray] = []
         for layer in self.enc_layers:
             x, k, v = layer(x, pad_keys, causal, True, True)
-            pad_width = ((0, 0), (0, 0), (0, window - T), (0, 0))
-            ks.append(jnp.pad(k, pad_width))
-            vs.append(jnp.pad(v, pad_width))
+            # [B, H, T, dh] -> time-major channel-merged [B, window, d]
+            merge = lambda y: y.transpose(0, 2, 1, 3).reshape(B, T, -1)
+            pad_width = ((0, 0), (0, window - T), (0, 0))
+            ks.append(jnp.pad(merge(k), pad_width))
+            vs.append(jnp.pad(merge(v), pad_width))
         logits = self.fc(x[:, -1, :])
         # per-layer tuples (NOT a stacked [L, ...] array): each layer's
         # buffer is its own pytree leaf, so the scan carry aliases it and

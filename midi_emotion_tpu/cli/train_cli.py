@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel mesh size")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
     p.add_argument("--attn_impl", type=str, default="xla", choices=["xla", "pallas"])
+    # activation rematerialization in the bwd pass: "none" is the fastest
+    # when activations fit (the Pallas flash path is O(T) memory, so the
+    # flagship fits without remat -- 411 vs 532 ms/step); "dots" keeps
+    # Dense outputs and recomputes only the attention internals; "full"
+    # recomputes everything (minimum memory)
+    p.add_argument("--remat", type=str, default="dots",
+                   choices=["none", "dots", "full"])
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of training steps here")
     p.add_argument("--profile_start", type=int, default=5)

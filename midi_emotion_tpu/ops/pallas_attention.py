@@ -44,6 +44,25 @@ NEG_INF = float(-1e30)  # avoids inf-inf NaNs inside the recurrence
 # 256 the same sweep is 16x fewer steps. Overridable per call.
 BLOCK_Q = 256
 BLOCK_K = 256
+# Heads per grid step. At dh=48 a single (256, 256) block pair is ~0.1 us of
+# MXU work against ~4 us of per-grid-step overhead (measured: removing the
+# relative bias entirely still cost 13.3 of 18.8 ms/layer fwd) -- the grid,
+# not the math, is the bottleneck. Batching HEADS_PER_BLOCK heads into one
+# step divides the step count while the per-step math stays VMEM-sized
+# (needs VMEM_LIMIT below; sweep: hpb=16 beat 8 and 1 at the flagship
+# shape, 411 -> 338 ms/step). Capped to H and rounded down to a divisor.
+HEADS_PER_BLOCK = 16
+
+# Mosaic's default scoped-VMEM budget is 16 MB; v5e has 128 MB of physical
+# VMEM, and the head-batched blocks (band + roll temps + f32 score tiles)
+# legitimately need more. 64 MB leaves plenty for double-buffered DMA.
+VMEM_LIMIT = 64 * 1024 * 1024
+
+# Trace-time ablation knob for perf experiments (scripts/perf_attn_kernels):
+#   "full"   -- correct Srel (band matmul + skew rolls)
+#   "noskew" -- band matmul but no rolls (WRONG numerics; isolates roll cost)
+#   "off"    -- no relative bias at all (WRONG numerics; plain flash)
+SREL_MODE = "full"
 
 
 def _dot(a, b, dims):
@@ -53,46 +72,54 @@ def _dot(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
+def _bdot(a, b, dims):
+    """Batched-over-axis-0 _dot: a [n, ...], b [n, ...]."""
+    return jax.lax.dot_general(a, b, (dims, ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+
+
 def _roll_right(x: jnp.ndarray, s: int) -> jnp.ndarray:
-    """Static cyclic roll along axis 1 as slice+concat. Unlike
+    """Static cyclic roll along the LAST axis as slice+concat. Unlike
     ``pltpu.roll`` (tpu.dynamic_rotate, 32-bit-only lowering) this works in
     bf16, which halves the VMEM traffic of the skew -- the dominant cost of
     the band strategy at this model's small d_head."""
-    return jnp.concatenate([x[:, -s:], x[:, :-s]], axis=1)
+    return jnp.concatenate([x[..., -s:], x[..., :-s]], axis=-1)
 
 
 def _skew_band(band: jnp.ndarray, bq: int, bk: int) -> jnp.ndarray:
-    """[bq, bq+bk] band -> [bq, bk] with out[a, b] = band[a, bq-1-a+b].
+    """[..., bq, bq+bk] band -> [..., bq, bk] with
+    out[..., a, b] = band[..., a, bq-1-a+b].
 
     Implemented as per-row roll-right by the row index (bit-decomposed into
     log2(bq) whole-array static rolls + selects), which places the wanted
     window of every row at columns [bq-1, bq-1+bk).
     """
     L = bq + bk
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, band.shape, band.ndim - 2)
     x = band
     shift = 1
     while shift < bq:
         x = jnp.where((rows & shift) != 0, _roll_right(x, shift), x)
         shift *= 2
-    return x[:, bq - 1 : bq - 1 + bk]
+    return x[..., bq - 1 : bq - 1 + bk]
 
 
 def _unskew_band(dsrel: jnp.ndarray, bq: int, bk: int) -> jnp.ndarray:
-    """Adjoint of _skew_band: [bq, bk] -> [bq, bq+bk] with
-    out[a, bq-1-a+b] = dsrel[a, b] (zeros elsewhere)."""
+    """Adjoint of _skew_band: [..., bq, bk] -> [..., bq, bq+bk] with
+    out[..., a, bq-1-a+b] = dsrel[..., a, b] (zeros elsewhere)."""
     L = bq + bk
+    lead = dsrel.shape[:-2]
     # static-shape placement (``.at[].set`` lowers to an unsupported
     # scatter inside Mosaic kernels)
     tmp = jnp.concatenate(
         [
-            jnp.zeros((bq, bq - 1), dsrel.dtype),
+            jnp.zeros(lead + (bq, bq - 1), dsrel.dtype),
             dsrel,
-            jnp.zeros((bq, 1), dsrel.dtype),
+            jnp.zeros(lead + (bq, 1), dsrel.dtype),
         ],
-        axis=1,
+        axis=-1,
     )
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, tmp.shape, tmp.ndim - 2)
     x = tmp
     shift = 1
     while shift < bq:
@@ -103,16 +130,18 @@ def _unskew_band(dsrel: jnp.ndarray, bq: int, bk: int) -> jnp.ndarray:
 
 
 def _flash_kernel(
-    q_ref,  # [1, bq, dh]
-    k_ref,  # [1, bk, dh]
-    v_ref,  # [1, bk, dh]
+    q_ref,  # [1, hpb, bq, dh]
+    k_ref,  # [1, hpb, bk, dh]
+    v_ref,  # [1, hpb, bk, dh]
     e_ref,  # [max_seq + bk, dh] (zero-padded tail)
     pad_ref,  # [1, 1, Tp] int32 -- 1 where key is pad (full row per batch)
-    o_ref,  # [1, bq, dh]
-    lse_ref,  # [1, 1, Tp] f32 -- per-row logsumexp (saved for the backward)
-    m_scr,  # [bq, 1] f32
-    l_scr,  # [bq, 1] f32
-    acc_scr,  # [bq, dh] f32
+    o_ref,  # [1, hpb, bq, dh]
+    lse_ref,  # [1, hpb, 1, Tp] f32 -- per-row logsumexp (for backward;
+              # the extra unit dim keeps the block's last-two dims (1, Tp),
+              # legal for ANY hpb -- (hpb, Tp) needs hpb % 8 == 0)
+    m_scr,  # [hpb, bq, 1] f32
+    l_scr,  # [hpb, bq, 1] f32
+    acc_scr,  # [hpb, bq, dh] f32
     *,
     bq: int,
     bk: int,
@@ -120,8 +149,9 @@ def _flash_kernel(
     scale: float,
     causal: bool,
 ):
-    iq = pl.program_id(1)
-    ik = pl.program_id(2)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    hpb = q_ref.shape[1]
 
     @pl.when(ik == 0)
     def _init():
@@ -135,46 +165,52 @@ def _flash_kernel(
 
     @pl.when(visible)
     def _compute():
-        q = q_ref[0]  # [bq, dh], model dtype (bf16 inputs stay bf16)
-        k = k_ref[0]  # [bk, dh]
+        q = q_ref[0]  # [hpb, bq, dh], model dtype (bf16 inputs stay bf16)
+        k = k_ref[0]  # [hpb, bk, dh]
         v = v_ref[0]
 
-        s = _dot(q, k, ((1,), (1,)))  # [bq, bk] f32
+        s = _bdot(q, k, ((2,), (2,)))  # [hpb, bq, bk] f32
 
-        # relative bias: contiguous E slice for this block-pair's distances;
-        # the skew runs in the input dtype (bf16 halves its VMEM traffic)
-        start = max_seq - iq * bq + ik * bk - bq
-        e_slice = e_ref[pl.ds(start, bq + bk), :].astype(q.dtype)
-        band = _dot(q, e_slice, ((1,), (1,))).astype(q.dtype)
-        srel = _skew_band(band, bq, bk).astype(jnp.float32)
-        # zero above the diagonal (j > i), matching the reference exactly --
-        # this matters for the unmasked regression model
-        a = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
-        b = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
-        srel = jnp.where(b <= a, srel, 0.0)
+        a = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 1) + iq * bq
+        b = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 2) + ik * bk
+        if SREL_MODE != "off":
+            # relative bias: contiguous E slice for this block-pair's
+            # distances; the skew runs in the input dtype (bf16 halves its
+            # VMEM traffic)
+            start = max_seq - iq * bq + ik * bk - bq
+            e_slice = e_ref[pl.ds(start, bq + bk), :].astype(q.dtype)
+            band = _dot(q, e_slice, ((2,), (1,))).astype(q.dtype)
+            if SREL_MODE == "full":
+                srel = _skew_band(band, bq, bk).astype(jnp.float32)
+            else:  # "noskew" ablation: wrong numerics, no rolls
+                srel = band[..., :bk].astype(jnp.float32)
+            # zero above the diagonal (j > i), matching the reference
+            # exactly -- this matters for the unmasked regression model
+            srel = jnp.where(b <= a, srel, 0.0)
+            s = s + srel
 
-        s = (s + srel) * scale
+        s = s * scale
 
         koff = pl.multiple_of(ik * bk, bk)
-        masked = pad_ref[0, 0, pl.ds(koff, bk)][None, :] != 0  # [1, bk]
+        masked = pad_ref[0, 0, pl.ds(koff, bk)][None, None, :] != 0
         if causal:
             masked = masked | (b > a)
         s = jnp.where(masked, NEG_INF, s)
 
         # online softmax
-        m_prev = m_scr[:]  # [bq, 1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_prev = m_scr[:]  # [hpb, bq, 1]
+        m_cur = jnp.max(s, axis=2, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # [bq, bk]
-        alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp(s - m_new)  # [hpb, bq, bk]
+        alpha = jnp.exp(m_prev - m_new)  # [hpb, bq, 1]
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
         # p in the input dtype for the MXU; acc stays f32
-        acc_scr[:] = acc_scr[:] * alpha + _dot(
-            p.astype(v.dtype), v, ((1,), (0,))
+        acc_scr[:] = acc_scr[:] * alpha + _bdot(
+            p.astype(v.dtype), v, ((2,), (1,))
         )
         m_scr[:] = m_new
 
-    last = (iq * bq + bq - 1) // bk if causal else pl.num_programs(2) - 1
+    last = (iq * bq + bq - 1) // bk if causal else pl.num_programs(3) - 1
 
     @pl.when(ik == last)
     def _finalize():
@@ -188,7 +224,7 @@ def _flash_kernel(
         lse = jnp.where(
             denom > 0.0, m_scr[:] + jnp.log(safe), jnp.float32(1e30)
         )
-        lse_ref[0, 0, pl.ds(iq * bq, bq)] = lse[:, 0]
+        lse_ref[0, :, 0, pl.ds(iq * bq, bq)] = lse[:, :, 0]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -235,9 +271,14 @@ def _prepare(q, k, v, e, causal, pad_keys, bq, bk):
     tail = Tp if not causal else bq + bk
     e_pad = jnp.pad(e_pad, ((0, tail), (0, 0)))
 
-    BH = B * H
-    flat = lambda x: x.reshape(BH, Tp, dh)
-    return (flat(qp), flat(kp), flat(vp), e_pad, pk, Tp, pad_t, pad3)
+    return (qp, kp, vp, e_pad, pk, Tp, pad_t, pad3)
+
+
+def _heads_per_block(H: int) -> int:
+    hpb = min(HEADS_PER_BLOCK, H)
+    while H % hpb:
+        hpb -= 1
+    return hpb
 
 
 def _flash_fwd_impl(
@@ -252,18 +293,18 @@ def _flash_fwd_impl(
     qf, kf, vf, e_pad, pk, Tp, pad_t, _ = _prepare(
         q, k, v, e, causal, pad_keys, bq, bk
     )
-    BH = B * H
+    hpb = _heads_per_block(H)
 
-    grid = (BH, Tp // bq, Tp // bk)
+    grid = (B, H // hpb, Tp // bq, Tp // bk)
     common_in_specs = [
-        pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
+        pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, iq, ik: (b, ih, iq, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bk, dh), lambda bh, iq, ik: (bh, ik, 0),
+        pl.BlockSpec((1, hpb, bk, dh), lambda b, ih, iq, ik: (b, ih, ik, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bk, dh), lambda bh, iq, ik: (bh, ik, 0),
+        pl.BlockSpec((1, hpb, bk, dh), lambda b, ih, iq, ik: (b, ih, ik, 0),
                      memory_space=pltpu.VMEM),
     ]
-    pad_spec = pl.BlockSpec((1, 1, Tp), lambda bh, iq, ik: (bh // H, 0, 0),
+    pad_spec = pl.BlockSpec((1, 1, Tp), lambda b, ih, iq, ik: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _flash_kernel, bq=bq, bk=bk,
@@ -278,29 +319,31 @@ def _flash_fwd_impl(
     out, lse = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((BH, Tp, dh), q.dtype),
-            jax.ShapeDtypeStruct((BH, 1, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Tp, dh), q.dtype),
+            jax.ShapeDtypeStruct((B, H, 1, Tp), jnp.float32),
         ),
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
+            pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, iq, ik: (b, ih, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tp), lambda bh, iq, ik: (bh, 0, 0),
+            pl.BlockSpec((1, hpb, 1, Tp),
+                         lambda b, ih, iq, ik: (b, ih, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, dh), jnp.float32),
+            pltpu.VMEM((hpb, bq, 1), jnp.float32),
+            pltpu.VMEM((hpb, bq, 1), jnp.float32),
+            pltpu.VMEM((hpb, bq, dh), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * BH * Tp * Tp * (2 * dh + bq + bk) // (2 if causal else 1),
-            bytes_accessed=4 * BH * Tp * dh * 4,
-            transcendentals=BH * Tp * Tp,
+            flops=2 * B * H * Tp * Tp * (2 * dh + bq + bk)
+            // (2 if causal else 1),
+            bytes_accessed=4 * B * H * Tp * dh * 4,
+            transcendentals=B * H * Tp * Tp,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(*operands)
-    out = out.reshape(B, H, Tp, dh)
     out = out[:, :, :T, :] if pad_t else out
     if return_lse:
         return out, lse
@@ -314,21 +357,24 @@ def _flash_fwd_impl(
 
 def _recompute_block(q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq,
                      scale, causal):
-    """Recompute P and the (a, b) index grids for one block pair."""
-    s = _dot(q, k, ((1,), (1,)))
+    """Recompute P and the (a, b) index grids for one block pair.
+
+    q: [hpb, bq, dh]; k: [hpb, bk, dh]; lse_row: [hpb, bq, 1];
+    pad_row: [bk]."""
+    s = _bdot(q, k, ((2,), (2,)))  # [hpb, bq, bk]
     start = max_seq - iq * bq + ik * bk - bq
     e_slice = e_ref[pl.ds(start, bq + bk), :].astype(q.dtype)
-    band = _dot(q, e_slice, ((1,), (1,))).astype(q.dtype)
+    band = _dot(q, e_slice, ((2,), (1,))).astype(q.dtype)
     srel = _skew_band(band, bq, bk).astype(jnp.float32)
-    a = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
-    b = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
+    a = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 1) + iq * bq
+    b = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 2) + ik * bk
     srel = jnp.where(b <= a, srel, 0.0)
     s = (s + srel) * scale
-    masked = pad_row[None, :] != 0
+    masked = pad_row[None, None, :] != 0
     if causal:
         masked = masked | (b > a)
     s = jnp.where(masked, NEG_INF, s)
-    p = jnp.exp(s - lse_row)  # [bq, bk]; exactly 0 on masked / empty rows
+    p = jnp.exp(s - lse_row)  # [hpb, bq, bk]; exactly 0 on masked rows
     return p, e_slice, a, b, start
 
 
@@ -337,15 +383,16 @@ def _bwd_dq_de_kernel(
     dq_ref, de_ref, dq_scr, de_scr,
     *, bq, bk, max_seq, scale, causal,
 ):
-    bh = pl.program_id(0)
-    iq = pl.program_id(1)
-    ik = pl.program_id(2)
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
 
     @pl.when(ik == 0)
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    @pl.when((bh == 0) & (iq == 0) & (ik == 0))
+    @pl.when((ib == 0) & (ih == 0) & (iq == 0) & (ik == 0))
     def _():
         de_scr[:] = jnp.zeros_like(de_scr)
 
@@ -353,37 +400,42 @@ def _bwd_dq_de_kernel(
 
     @pl.when(visible)
     def _():
-        q = q_ref[0]
+        q = q_ref[0]  # [hpb, bq, dh]
         k = k_ref[0]
         v = v_ref[0]
         do = do_ref[0]
-        lse_row = lse_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
-        d_row = dsum_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
+        lse_row = lse_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
+        d_row = dsum_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
         pad_row = pad_ref[0, 0, pl.ds(ik * bk, bk)]
         p, e_slice, a, b, start = _recompute_block(
             q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq, scale,
             causal,
         )
-        dp = _dot(do, v, ((1,), (1,)))
-        ds_f32 = p * (dp - d_row) * scale  # [bq, bk]
+        dp = _bdot(do, v, ((2,), (2,)))
+        ds_f32 = p * (dp - d_row) * scale  # [hpb, bq, bk]
         ds = ds_f32.astype(q.dtype)
-        dq_scr[:] += _dot(ds, k, ((1,), (0,)))
+        dq_scr[:] += _bdot(ds, k, ((2,), (1,)))
         # the unskew runs in the input dtype (static slice+concat rolls)
         dsrel = jnp.where(b <= a, ds, jnp.zeros((), ds.dtype))
-        dband = _unskew_band(dsrel, bq, bk)  # [bq, bq+bk]
-        dq_scr[:] += _dot(dband, e_slice, ((1,), (0,)))
-        de_scr[pl.ds(start, bq + bk), :] += _dot(dband, q, ((0,), (0,)))
+        dband = _unskew_band(dsrel, bq, bk)  # [hpb, bq, bq+bk]
+        dq_scr[:] += _dot(dband, e_slice, ((2,), (0,)))
+        de_blk = jax.lax.dot_general(
+            dband, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [hpb, bq+bk, dh]
+        de_scr[pl.ds(start, bq + bk), :] += jnp.sum(de_blk, axis=0)
 
-    last = (iq * bq + bq - 1) // bk if causal else pl.num_programs(2) - 1
+    last = (iq * bq + bq - 1) // bk if causal else pl.num_programs(3) - 1
 
     @pl.when(ik == last)
     def _():
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
     @pl.when(
-        (bh == pl.num_programs(0) - 1)
-        & (iq == pl.num_programs(1) - 1)
-        & (ik == pl.num_programs(2) - 1)
+        (ib == pl.num_programs(0) - 1)
+        & (ih == pl.num_programs(1) - 1)
+        & (iq == pl.num_programs(2) - 1)
+        & (ik == pl.num_programs(3) - 1)
     )
     def _():
         de_ref[:] = de_scr[:]
@@ -394,8 +446,8 @@ def _bwd_dkdv_kernel(
     dk_ref, dv_ref, dk_scr, dv_scr,
     *, bq, bk, max_seq, scale, causal,
 ):
-    ik = pl.program_id(1)
-    iq = pl.program_id(2)
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
 
     @pl.when(iq == 0)
     def _():
@@ -406,23 +458,23 @@ def _bwd_dkdv_kernel(
 
     @pl.when(visible)
     def _():
-        q = q_ref[0]
+        q = q_ref[0]  # [hpb, bq, dh]
         k = k_ref[0]
         v = v_ref[0]
         do = do_ref[0]
-        lse_row = lse_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
-        d_row = dsum_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
+        lse_row = lse_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
+        d_row = dsum_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
         pad_row = pad_ref[0, 0, pl.ds(ik * bk, bk)]
         p, _, a, b, _ = _recompute_block(
             q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq, scale,
             causal,
         )
-        dv_scr[:] += _dot(p.astype(do.dtype), do, ((0,), (0,)))
-        dp = _dot(do, v, ((1,), (1,)))
+        dv_scr[:] += _bdot(p.astype(do.dtype), do, ((1,), (1,)))
+        dp = _bdot(do, v, ((2,), (2,)))
         ds = ((p * (dp - d_row)) * scale).astype(q.dtype)
-        dk_scr[:] += _dot(ds, q, ((0,), (0,)))
+        dk_scr[:] += _bdot(ds, q, ((1,), (1,)))
 
-    @pl.when(iq == pl.num_programs(2) - 1)
+    @pl.when(iq == pl.num_programs(3) - 1)
     def _():
         dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
@@ -437,12 +489,12 @@ def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
     qf, kf, vf, e_pad, pk, Tp, pad_t, pad3 = _prepare(
         q, k, v, e, causal, pad_keys, bq, bk
     )
-    BH = B * H
-    dof = pad3(g).reshape(BH, Tp, dh)
-    outf = pad3(out).reshape(BH, Tp, dh)
+    hpb = _heads_per_block(H)
+    dof = pad3(g)
+    outf = pad3(out)
     dsum = jnp.sum(
         dof.astype(jnp.float32) * outf.astype(jnp.float32), axis=-1
-    )[:, None, :]  # [BH, 1, Tp]
+    )[:, :, None, :]  # [B, H, 1, Tp]
 
     n_e_rows = e_pad.shape[0]
     common = dict(
@@ -450,84 +502,89 @@ def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
         scale=1.0 / math.sqrt(dh), causal=causal,
     )
     in_specs = [
-        pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
+        pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, iq, ik: (b, ih, iq, 0),
                      memory_space=pltpu.VMEM),  # q
-        pl.BlockSpec((1, bk, dh), lambda bh, iq, ik: (bh, ik, 0),
+        pl.BlockSpec((1, hpb, bk, dh), lambda b, ih, iq, ik: (b, ih, ik, 0),
                      memory_space=pltpu.VMEM),  # k
-        pl.BlockSpec((1, bk, dh), lambda bh, iq, ik: (bh, ik, 0),
+        pl.BlockSpec((1, hpb, bk, dh), lambda b, ih, iq, ik: (b, ih, ik, 0),
                      memory_space=pltpu.VMEM),  # v
-        pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
+        pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, iq, ik: (b, ih, iq, 0),
                      memory_space=pltpu.VMEM),  # do
-        pl.BlockSpec((1, 1, Tp), lambda bh, iq, ik: (bh, 0, 0),
+        pl.BlockSpec((1, hpb, 1, Tp), lambda b, ih, iq, ik: (b, ih, 0, 0),
                      memory_space=pltpu.VMEM),  # lse
-        pl.BlockSpec((1, 1, Tp), lambda bh, iq, ik: (bh, 0, 0),
+        pl.BlockSpec((1, hpb, 1, Tp), lambda b, ih, iq, ik: (b, ih, 0, 0),
                      memory_space=pltpu.VMEM),  # dsum
         pl.BlockSpec(memory_space=pltpu.VMEM),  # e_pad
-        pl.BlockSpec((1, 1, Tp), lambda bh, iq, ik: (bh // H, 0, 0),
+        pl.BlockSpec((1, 1, Tp), lambda b, ih, iq, ik: (b, 0, 0),
                      memory_space=pltpu.VMEM),  # pad rows
     ]
 
     dq, de_pad = pl.pallas_call(
         functools.partial(_bwd_dq_de_kernel, **common),
         out_shape=(
-            jax.ShapeDtypeStruct((BH, Tp, dh), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, dh), q.dtype),
             jax.ShapeDtypeStruct((n_e_rows, dh), jnp.float32),
         ),
-        grid=(BH, Tp // bq, Tp // bk),
+        grid=(B, H // hpb, Tp // bq, Tp // bk),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, bq, dh), lambda bh, iq, ik: (bh, iq, 0),
+            pl.BlockSpec((1, hpb, bq, dh),
+                         lambda b, ih, iq, ik: (b, ih, iq, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bq, dh), jnp.float32),
+            pltpu.VMEM((hpb, bq, dh), jnp.float32),
             pltpu.VMEM((n_e_rows, dh), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(qf, kf, vf, dof, lse, dsum, e_pad, pk)
 
     # dK/dV kernel: iq innermost so per-k-block accumulation is legal
     in_specs_kv = [
-        pl.BlockSpec((1, bq, dh), lambda bh, ik, iq: (bh, iq, 0),
+        pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, ik, iq: (b, ih, iq, 0),
                      memory_space=pltpu.VMEM),  # q
-        pl.BlockSpec((1, bk, dh), lambda bh, ik, iq: (bh, ik, 0),
+        pl.BlockSpec((1, hpb, bk, dh), lambda b, ih, ik, iq: (b, ih, ik, 0),
                      memory_space=pltpu.VMEM),  # k
-        pl.BlockSpec((1, bk, dh), lambda bh, ik, iq: (bh, ik, 0),
+        pl.BlockSpec((1, hpb, bk, dh), lambda b, ih, ik, iq: (b, ih, ik, 0),
                      memory_space=pltpu.VMEM),  # v
-        pl.BlockSpec((1, bq, dh), lambda bh, ik, iq: (bh, iq, 0),
+        pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, ik, iq: (b, ih, iq, 0),
                      memory_space=pltpu.VMEM),  # do
-        pl.BlockSpec((1, 1, Tp), lambda bh, ik, iq: (bh, 0, 0),
+        pl.BlockSpec((1, hpb, 1, Tp), lambda b, ih, ik, iq: (b, ih, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Tp), lambda bh, ik, iq: (bh, 0, 0),
+        pl.BlockSpec((1, hpb, 1, Tp), lambda b, ih, ik, iq: (b, ih, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Tp), lambda bh, ik, iq: (bh // H, 0, 0),
+        pl.BlockSpec((1, 1, Tp), lambda b, ih, ik, iq: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, **common),
         out_shape=(
-            jax.ShapeDtypeStruct((BH, Tp, dh), k.dtype),
-            jax.ShapeDtypeStruct((BH, Tp, dh), v.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, dh), k.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, dh), v.dtype),
         ),
-        grid=(BH, Tp // bk, Tp // bq),
+        grid=(B, H // hpb, Tp // bk, Tp // bq),
         in_specs=in_specs_kv,
         out_specs=(
-            pl.BlockSpec((1, bk, dh), lambda bh, ik, iq: (bh, ik, 0),
+            pl.BlockSpec((1, hpb, bk, dh),
+                         lambda b, ih, ik, iq: (b, ih, ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, dh), lambda bh, ik, iq: (bh, ik, 0),
+            pl.BlockSpec((1, hpb, bk, dh),
+                         lambda b, ih, ik, iq: (b, ih, ik, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bk, dh), jnp.float32),
-            pltpu.VMEM((bk, dh), jnp.float32),
+            pltpu.VMEM((hpb, bk, dh), jnp.float32),
+            pltpu.VMEM((hpb, bk, dh), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(qf, kf, vf, dof, lse, dsum, e_pad, pk)
 
-    unflat = lambda x, dt: x.reshape(B, H, Tp, dh)[:, :, :T, :].astype(dt)
-    dq = unflat(dq, q.dtype)
-    dk = unflat(dk, k.dtype)
-    dv = unflat(dv, v.dtype)
+    cut = lambda x, dt: x[:, :, :T, :].astype(dt)
+    dq = cut(dq, q.dtype)
+    dk = cut(dk, k.dtype)
+    dv = cut(dv, v.dtype)
     # de: drop the front (pad_t) and tail padding rows
     de = de_pad[pad_t : pad_t + max_seq].astype(e.dtype)
     return dq, dk, dv, de

@@ -117,6 +117,7 @@ class Runner:
                 self.logging(f"Dropout rate changed to {args.dropout}")
             self.csv_in = os.path.join(self.restart_dir, "performance.csv")
         else:
+            remat_flag = getattr(args, "remat", "dots")
             self.cfg = ModelConfig(
                 vocab_size=len(self.vocab),
                 mode="regression" if args.regression else args.conditioning,
@@ -128,6 +129,8 @@ class Runner:
                 dropout=args.dropout,
                 max_seq=2048,
                 pad_id=self.vocab.pad_id,
+                remat=remat_flag != "none",
+                remat_policy=remat_flag if remat_flag != "none" else "dots",
             ).validate()
             params = None
             self.csv_in = None

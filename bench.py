@@ -63,24 +63,37 @@ def measure_reference_cpu(gen_len: int, batch: int) -> float:
     ).eval()
     cond = torch.zeros(batch, 2)
 
-    def fwd_time(T: int, reps: int = 2) -> float:
-        x = torch.randint(2, 1000, (batch, T))
+    def fwd_time(T: int, b: int, reps: int = 2) -> float:
+        x = torch.randint(2, 1000, (b, T))
+        c = torch.zeros(b, 2)
         with torch.no_grad():
-            model(x, cond)  # warmup
+            model(x, c)  # warmup
             t0 = time.time()
             for _ in range(reps):
-                model(x, cond)
+                model(x, c)
         return (time.time() - t0) / reps
 
-    t1, T1 = fwd_time(256), 256
-    t2, T2 = fwd_time(1024), 1024
+    # fit the quadratic at a small batch (a single T=1024 forward takes
+    # minutes at large batch on this 1-core host) ...
+    fit_b = min(batch, 4)
+    t1, T1 = fwd_time(256, fit_b), 256
+    t2, T2 = fwd_time(1024, fit_b), 1024
     # solve t(T) = a*T + b*T^2
     A = np.array([[T1, T1 * T1], [T2, T2 * T2]], float)
     a, b = np.linalg.solve(A, np.array([t1, t2]))
     Ts = np.minimum(np.arange(1, gen_len), 1216)
     total = float(np.sum(a * Ts + b * Ts * Ts))
+    detail = {f"fwd_{T1}_s": t1, f"fwd_{T2}_s": t2, "fit_batch": fit_b}
+    if batch > fit_b:
+        # ... then MEASURE how cost scales to the requested batch at one
+        # length (single-core torch is ~linear in batch; this pins the
+        # actual ratio instead of assuming it)
+        t1_big = fwd_time(256, batch, reps=1)
+        ratio = t1_big / t1
+        total = total * ratio
+        detail.update(fwd_256_big_s=t1_big, batch_scale_ratio=ratio)
     toks_per_sec = batch * (gen_len - 1) / total
-    return toks_per_sec, {"fwd_256_s": t1, "fwd_1024_s": t2}
+    return toks_per_sec, detail
 
 
 def get_baseline(gen_len: int, batch: int) -> float:
@@ -110,9 +123,9 @@ def get_baseline(gen_len: int, batch: int) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gen_len", type=int, default=1024)
-    ap.add_argument("--gen_batch", type=int, default=16)
+    ap.add_argument("--gen_batch", type=int, default=64)
     ap.add_argument("--train_batch", type=int, default=8)
-    ap.add_argument("--attn_impl", type=str, default="xla")
+    ap.add_argument("--attn_impl", type=str, default="pallas")
     ap.add_argument("--quick", action="store_true", help="tiny smoke sizes")
     ap.add_argument("--skip_train", action="store_true")
     args = ap.parse_args()
@@ -129,7 +142,10 @@ def main():
     from midi_emotion_tpu.generation.sampler import Sampler
     from midi_emotion_tpu.vocab import DEFAULT_VOCAB
 
-    cfg = ModelConfig(**FLAGSHIP).validate()
+    # remat off: the flash kernel is O(T) activation memory, so the flagship
+    # training step fits without rematerialization (fastest measured config,
+    # scripts/perf_train_configs.py)
+    cfg = ModelConfig(**FLAGSHIP, remat=False).validate()
     model = MusicTransformer(cfg, dtype=jnp.bfloat16, attn_impl=args.attn_impl)
     params = init_params(model, jax.random.PRNGKey(0))
 
@@ -163,6 +179,19 @@ def main():
         "attn_impl": args.attn_impl,
         "device": str(jax.devices()[0]),
     }
+
+    if not args.quick:
+        # secondary serving mode: stacked int8 KV cache + fused decode
+        # kernel (ops/decode_attention.py) -- same settings, same batch;
+        # sampled tokens can differ from the exact path within int8
+        # quantization error, so it is reported separately, not as `value`
+        sampler8 = Sampler(model, params, DEFAULT_VOCAB, sp, kv_dtype="int8")
+        sampler8.generate(primers, continuous_conditions=conds,
+                          rng=_jax.random.PRNGKey(123))
+        t0 = time.time()
+        sampler8.generate(primers, continuous_conditions=conds,
+                          rng=_jax.random.PRNGKey(456))
+        result["gen_tokens_per_sec_int8kv"] = round(gen_tokens / (time.time() - t0), 1)
 
     if not args.skip_train:
         from midi_emotion_tpu.parallel import mesh as mesh_lib

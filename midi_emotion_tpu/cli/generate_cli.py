@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--attn_impl", type=str, default="xla", choices=["xla", "pallas"]
     )
+    p.add_argument(
+        "--kv_dtype", type=str, default="native", choices=["native", "int8"],
+        help="decode KV cache: 'int8' = quantized cache + fused Pallas "
+        "kernel (faster at large batch; not bit-exact)",
+    )
     return p
 
 
@@ -146,6 +151,7 @@ def main(argv=None):
                 debug=args.debug,
                 verbose=not args.quiet,
                 slide_hop=args.slide_hop,
+                kv_dtype=args.kv_dtype,
             )
 
 

@@ -73,6 +73,7 @@ def generate(
     verbose: bool = False,
     slide_hop: Optional[int] = None,
     varying_condition: Optional[Sequence[np.ndarray]] = None,
+    kv_dtype: str = "native",
 ):
     """Generate a batch and write MIDI files.
 
@@ -129,7 +130,8 @@ def generate(
         penalty_coeff=penalty_coeff,
         seed=seed,
     )
-    sampler = Sampler(model, params, vocab, sampling, slide_hop=slide_hop)
+    sampler = Sampler(model, params, vocab, sampling, slide_hop=slide_hop,
+                      kv_dtype=kv_dtype)
     if varying_condition is not None:
         vc = np.stack([valences, arousals], axis=-1)  # [B, gen_len, 2]
         song = sampler.generate_exact(primer_ids, varying_conditions=vc)

@@ -53,15 +53,30 @@ class Sampler:
         sampling: SamplingParams,
         slide_hop: Optional[int] = None,
         cache_stage: int = 256,
+        kv_dtype: str = "native",
     ):
         cfg = model.config
         assert not cfg.is_regression, "regression models cannot generate"
+        assert kv_dtype in ("native", "int8"), kv_dtype
         self.model = model
         self.params = params
         self.vocab = vocab
         self.sampling = sampling
         self.cfg = cfg
         self.cache_stage = cache_stage
+        # "int8": stacked quantized KV cache + fused Pallas decode kernel
+        # (ops/decode_attention.py) -- ~half the HBM traffic per decoded
+        # token; sampled tokens can differ from the bit-exact "native"
+        # path within int8 quantization error
+        self.kv_dtype = kv_dtype
+        self._prefill_method = (
+            MusicTransformer.prefill_q if kv_dtype == "int8"
+            else MusicTransformer.prefill
+        )
+        self._decode_method = (
+            MusicTransformer.decode_step_q if kv_dtype == "int8"
+            else MusicTransformer.decode_step
+        )
 
         self.exclude_mask = jnp.asarray(vocab.special_mask())
         self.ts_range = (int(vocab.timeshift_base), int(vocab.base_size))
@@ -71,16 +86,18 @@ class Sampler:
     # ------------------------------------------------------------------
     def _prefill_core(self, prompt_len: int, window: int):
         """Jitted prompt prefill -> (logits, cache, ce)."""
-        key = ("prefill", prompt_len, window)
+        key = ("prefill", prompt_len, window, self.kv_dtype)
         if key in self._jit_cache:
             return self._jit_cache[key]
         model, cfg = self.model, self.cfg
+
+        prefill_method = self._prefill_method
 
         @jax.jit
         def run(params, prompt, cond):
             variables = {"params": params}
             logits, cache = model.apply(
-                variables, prompt, cond, window, method=MusicTransformer.prefill
+                variables, prompt, cond, window, method=prefill_method
             )
             ce = jnp.zeros((prompt.shape[0], 1), jnp.float32)
             if cfg.mode == "continuous_concat":
@@ -93,26 +110,42 @@ class Sampler:
         return run
 
     def _grow_cache(self, cache, w_out: int):
-        """Pad per-layer KV buffers to w_out, leaf by leaf, so old buffers
-        free as soon as their pad completes (an in-jit whole-cache pad
-        holds both generations live -> OOM at large batch)."""
-        w_in = cache["k"][0].shape[1]
+        """Pad KV buffers to w_out so old buffers free as soon as their
+        pad completes (an in-jit whole-cache pad holds both generations
+        live -> OOM at large batch)."""
+        quant = "kv" in cache
+        w_in = cache["kv"].shape[2] if quant else cache["k"][0].shape[1]
         if w_in == w_out:
             return cache
         grow = w_out - w_in
-        key = ("pad", w_in, w_out, cache["k"][0].shape)
+        key = ("pad", quant, w_in, w_out,
+               cache["kv"].shape if quant else cache["k"][0].shape)
         if key not in self._jit_cache:
             # ONE dispatch for the whole pytree (per-leaf calls cost a
             # tunnel round-trip each). Transitions hold old+new
             # generations live (~2x); safe because generate() disables
-            # staging when the full cache exceeds 3 GB.
-            def pad_all(c):
-                pad = lambda x: jnp.pad(x, ((0, 0), (0, grow), (0, 0)))
-                return {
-                    "k": tuple(pad(k) for k in c["k"]),
-                    "v": tuple(pad(v) for v in c["v"]),
-                    "length": c["length"],
-                }
+            # staging when the full cache exceeds the threshold.
+            if quant:
+                def pad_all(c):
+                    return {
+                        "kv": jnp.pad(
+                            c["kv"], ((0, 0), (0, 0), (0, grow), (0, 0))
+                        ),
+                        "sc": jnp.pad(
+                            c["sc"], ((0, 0), (0, 0), (0, 0), (0, grow))
+                        ),
+                        "row": c["row"],
+                        "rsc": c["rsc"],
+                        "length": c["length"],
+                    }
+            else:
+                def pad_all(c):
+                    pad = lambda x: jnp.pad(x, ((0, 0), (0, grow), (0, 0)))
+                    return {
+                        "k": tuple(pad(k) for k in c["k"]),
+                        "v": tuple(pad(v) for v in c["v"]),
+                        "length": c["length"],
+                    }
 
             self._jit_cache[key] = jax.jit(pad_all)
         return self._jit_cache[key](cache)
@@ -123,11 +156,12 @@ class Sampler:
         Carries logits across chunk boundaries, so every chunk's first
         sample comes from the previous chunk's final decode (no wasted
         steps). Returns (tokens [n,B], logits, cache, counts)."""
-        key = ("scan", n_steps, window, varying)
+        key = ("scan", n_steps, window, varying, self.kv_dtype)
         if key in self._jit_cache:
             return self._jit_cache[key]
         model, cfg, sampling = self.model, self.cfg, self.sampling
         exclude_mask, ts_range = self.exclude_mask, self.ts_range
+        decode_method = self._decode_method
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def run(params, cache, logits0, temp_key0, counts0, uniforms, cond_seq, ce):
@@ -147,7 +181,7 @@ class Sampler:
                     )
                 new_logits, cache = model.apply(
                     variables, token, ce_t, cache,
-                    method=MusicTransformer.decode_step,
+                    method=decode_method,
                 )
                 return (new_logits, cache, token, counts), token
 
@@ -391,7 +425,10 @@ class Sampler:
             _round_up(max_input_len + n_prefix + cfg.seq_prefix + hop, 128),
             cfg.max_seq,
         )
-        itemsize = 2 if self.model.dtype == jnp.bfloat16 else 4
+        if self.kv_dtype == "int8":
+            itemsize = 1.1  # int8 rows + ~8% bf16 scales
+        else:
+            itemsize = 2 if self.model.dtype == jnp.bfloat16 else 4
         full_cache_bytes = (
             2 * cfg.n_layer * B * cfg.n_head * w_max * cfg.d_head * itemsize
         )

@@ -125,6 +125,36 @@ class RelativeGlobalAttention(nn.Module):
         out = decode_rel_attention(q, k_cache, v_cache, e, length)
         return self.fc(out.reshape(B, -1)), k_cache, v_cache
 
+    def decode_q(
+        self,
+        x_t: jnp.ndarray,
+        kv8: jnp.ndarray,
+        sc: jnp.ndarray,
+        layer_idx: int,
+        length: jnp.ndarray,
+    ):
+        """One-token step against the stacked int8 cache (see
+        ops/decode_attention.py). ``length`` counts CACHED rows (the
+        current token is folded in exactly via merge_self and returned as
+        the next pending row). Returns (attn_out [B, d], pending int8 row
+        [B, 2d], pending scales [B, 2H])."""
+        from ..ops.decode_attention import (
+            decode_attn_cached, expand_e_rows, merge_self, quantize_rows,
+        )
+
+        B = x_t.shape[0]
+        dh = self.d_model // self.n_head
+        q = self.wq(x_t).reshape(B, self.n_head, dh)
+        k_t = self.wk(x_t)
+        v_t = self.wv(x_t)
+        e = self.e_table.astype(self.dtype)
+        e_rows = expand_e_rows(e, length + 1, kv8.shape[2])
+        acc, m, l = decode_attn_cached(q, kv8, sc, layer_idx, e_rows, length)
+        out = merge_self(acc, m, l, q, k_t, v_t, e[-1])  # [B, d]
+        row = jnp.concatenate([k_t, v_t], axis=-1)  # [B, 2d]
+        row8, rsc = quantize_rows(row[:, None, :], 2 * self.n_head)
+        return self.fc(out), row8[:, 0], rsc[:, :, 0]
+
 
 class EncoderLayer(nn.Module):
     """Post-LN block (music_multi.py:110-135): RGA -> dropout ->
@@ -176,6 +206,13 @@ class EncoderLayer(nn.Module):
         ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
         out2 = self.ln2(out1 + ffn)
         return out2, k_cache, v_cache
+
+    def decode_q(self, x_t, kv8, sc, layer_idx, length):
+        attn, row8, rsc = self.rga.decode_q(x_t, kv8, sc, layer_idx, length)
+        out1 = self.ln1(attn + x_t)
+        ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
+        out2 = self.ln2(out1 + ffn)
+        return out2, row8, rsc
 
 
 class MusicTransformer(nn.Module):
@@ -350,6 +387,89 @@ class MusicTransformer(nn.Module):
             "length": jnp.asarray(T, jnp.int32),
         }
         return logits, cache
+
+    def prefill_q(
+        self,
+        tokens: jnp.ndarray,
+        condition: Optional[jnp.ndarray],
+        window: int,
+    ) -> Tuple[jnp.ndarray, Cache]:
+        """Prefill into the STACKED int8 cache (ops/decode_attention.py):
+        kv [L, B, W, 2d] int8 rows (K|V merged), sc [L, B, 2H, W] bf16
+        per-(row, head) scales, plus the pending-row buffers the deferred
+        append uses. Returns (last-position logits, cache)."""
+        from ..ops.decode_attention import quantize_rows
+
+        cfg = self.config
+        x, causal, pad_keys = self._embed(tokens, condition)
+        B, T = x.shape[0], x.shape[1]
+        kv8s, scs = [], []
+        for layer in self.enc_layers:
+            x, k, v = layer(x, pad_keys, causal, True, True)
+            merge = lambda y: y.transpose(0, 2, 1, 3).reshape(B, T, -1)
+            rows = jnp.concatenate([merge(k), merge(v)], axis=-1)
+            row8, rsc = quantize_rows(rows, 2 * cfg.n_head)  # [B,T,2d],[B,2H,T]
+            kv8s.append(jnp.pad(row8, ((0, 0), (0, window - T), (0, 0))))
+            scs.append(jnp.pad(rsc, ((0, 0), (0, 0), (0, window - T))))
+        logits = self.fc(x[:, -1, :])
+        kv8 = jnp.stack(kv8s)  # [L, B, W, 2d]
+        sc = jnp.stack(scs)    # [L, B, 2H, W]
+        # pending = a copy of the last prompt row; the first decode step
+        # re-appends it in place (identical bytes, a no-op semantically),
+        # keeping the scan body uniform
+        cache: Cache = {
+            "kv": kv8,
+            "sc": sc,
+            "row": kv8[:, :, T - 1, :],
+            "rsc": sc[:, :, :, T - 1],
+            "length": jnp.asarray(T, jnp.int32),
+        }
+        return logits, cache
+
+    def decode_step_q(
+        self,
+        token_t: jnp.ndarray,
+        cond_emb: Optional[jnp.ndarray],
+        cache: Cache,
+    ) -> Tuple[jnp.ndarray, Cache]:
+        """Advance one token against the stacked int8 cache: land the
+        previous step's pending rows (2 ops for all layers -- the whole
+        point of the deferred-append layout), then run each layer's fused
+        kernel + exact self-term merge."""
+        cfg = self.config
+        length = cache["length"]  # rows including pending
+        pos = length - 1
+        kv8 = jax.lax.dynamic_update_slice(
+            cache["kv"], cache["row"][:, :, None, :],
+            (0, 0, pos, 0),
+        )
+        sc = jax.lax.dynamic_update_slice(
+            cache["sc"], cache["rsc"][:, :, :, None],
+            (0, 0, 0, pos),
+        )
+        x = self.embedding(token_t)
+        if cfg.mode == "continuous_token":
+            x = x * math.sqrt(cfg.d_model)
+        else:
+            x = x * math.sqrt(cfg.embed_dim)
+            if cfg.effective_d_condition > 0:
+                x = jnp.concatenate([x, cond_emb], axis=-1)
+        pos_vec = self.pos_table[length].astype(x.dtype)
+        x = x + pos_vec[None, :]
+        rows, rscs = [], []
+        for i, layer in enumerate(self.enc_layers):
+            x, row_i, rsc_i = layer.decode_q(x, kv8, sc, i, length)
+            rows.append(row_i)
+            rscs.append(rsc_i)
+        logits = self.fc(x)
+        new_cache: Cache = {
+            "kv": kv8,
+            "sc": sc,
+            "row": jnp.stack(rows),
+            "rsc": jnp.stack(rscs),
+            "length": length + 1,
+        }
+        return logits, new_cache
 
     def decode_step(
         self,

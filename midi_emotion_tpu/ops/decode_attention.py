@@ -1,0 +1,303 @@
+"""Fused Pallas decode-attention over a stacked int8 KV cache.
+
+Single-token decode is HBM-bandwidth-bound: the cost of a step IS reading
+the cache once (see ops/attention.py:decode_rel_attention for the layout
+rationale -- time-major, merged-channel buffers, no lane padding). An int8
+cache halves the streamed bytes, but two naive lowerings measured on the
+v5e fail to collect the win (scripts/perf_decode_int8.py, B=64, W=1408,
+L=20, vs a ~3.1 ms read roofline):
+
+  * XLA int8 dot-form: 5.7 ms/step -- the [B, H, W] logits/probs and the
+    [B, W, D] expanded probs round-trip HBM between fusions;
+  * a convert-to-bf16-then-dot Pallas kernel: 5.2 ms -- **convert-bound**:
+    int8 -> bf16 of ~19M cache elements/step runs at ~1 elem/lane/cycle on
+    the VPU, as long as the DMA it was supposed to hide.
+
+This kernel therefore never converts the cache: both contractions run as
+**native int8 x int8 -> int32 MXU dots**,
+
+  * scores: block-diagonal int8 q (its per-head scales applied to the
+    int32 result, together with the cache's per-(row, head) scales);
+  * PV: probabilities * V-scales are re-quantized to int8 in-kernel with a
+    per-(batch, head) dynamic scale, contracted against the raw int8 V
+    block, and the head-diagonal slices of the [H, D] result selected.
+
+Cache layout (decided by two more measurements):
+
+  * **Stacked over layers, K|V merged**: kv [L, B, W, 2D] int8 plus scales
+    [L, B, 2H, W]. Appending a decoded token's K/V rows as 80 separate
+    `dynamic_update_slice`s (4 per layer) costs ~0.9 ms/step in fixed
+    per-op overhead; the stacked layout defers each step's rows (carried
+    in tiny [L, B, 2D] pending buffers) and lands ALL of them in 2 ops at
+    the next step. The kernel indexes its layer through a scalar-prefetch
+    argument, so one compiled kernel serves every layer.
+  * Scales put W on the lane axis: a [.., W, H] layout would pad
+    H=16 -> 128 lanes in HBM (8x the bytes).
+
+Because the current token's K/V row is pending, the kernel returns the
+UNNORMALIZED flash triple (acc, m, l) over the cached rows only; the
+caller folds the current token in exactly (unquantized) with
+``merge_self`` -- a [B, H]-sized XLA epilogue.
+
+Quantization error: symmetric per-(row, head) int8 for K/V (<=0.4% of each
+row's max) plus one 1/254-of-max rounding on the probabilities
+(tests/test_decode_attention.py bounds the end-to-end error). Bit-exact
+decode remains on the bf16 path (attention.py:decode_rel_attention).
+
+Semantics otherwise match decode_rel_attention (ops/attention.py:111-185):
+for a query at window position `length` attending to cached keys
+0..length-1 and itself,
+
+    logits[b,h,w] = (q[b,h] . k[b,w,head h] + q[b,h] . E[ms-1-length+w])
+                    / sqrt(dh)
+
+with the reference's E indexing quirk (music_multi.py:240-243: short
+sequences read the *last* rows of the table; the self term uses E[ms-1]).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VMEM_LIMIT = 100 * 1024 * 1024
+
+_NEG = -1e30
+
+
+def _kernel(
+    s_ref,       # scalar-prefetch [2] int32: (layer, n_cached)
+    q8bd_ref,    # [bb, H, D] int8 block-diagonal quantized query
+    sq_ref,      # [bb, H] f32 query scales
+    qh_ref,      # [bb, H, dh] bf16 raw per-head query (for the bias dot)
+    kv_ref,      # [1, bb, bw, 2D] int8 (this layer's K|V block)
+    e_ref,       # [bw, dh] bf16 relative rows for this window block
+    sc_ref,      # [1, bb, 2H, bw] bf16 K|V scales
+    acc_ref,     # out [bb, D] f32 (unnormalized PV)
+    m_ref,       # out [bb, H] f32 (running max)
+    l_ref,       # out [bb, H] f32 (running denominator)
+    *,
+    n_head: int,
+    d_head: int,
+    bw: int,
+):
+    j = pl.program_id(1)
+    bb, H, D = q8bd_ref.shape
+    dh = d_head
+    length = s_ref[1]
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full((bb, H), _NEG, jnp.float32)
+        l_ref[:] = jnp.zeros((bb, H), jnp.float32)
+        acc_ref[:] = jnp.zeros((bb, D), jnp.float32)
+
+    # head-selector mask: sel[h, r] = 1 iff r // dh == h
+    r_head = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // dh
+    h_row = jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+    sel_f = (r_head == h_row).astype(jnp.float32)
+
+    k_blk = kv_ref[0, :, :, :D]  # [bb, bw, D] int8
+    v_blk = kv_ref[0, :, :, D:]
+    ks = sc_ref[0, :, :H, :]     # [bb, H, bw]
+    vs = sc_ref[0, :, H:, :]
+
+    # scores: int8 block-diagonal q against the raw int8 K block (MXU
+    # int8 x int8 -> int32; the cache is never converted)
+    scores = jax.lax.dot_general(
+        q8bd_ref[:], k_blk, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [bb, H, bw]
+    scores_f = (
+        scores.astype(jnp.float32)
+        * sq_ref[:][:, :, None]
+        * ks.astype(jnp.float32)
+    )
+
+    # relative bias: unquantized per-head q against the E rows -- a
+    # [bb*H, dh] x [dh, bw] dot
+    bias = jax.lax.dot_general(
+        qh_ref[:].reshape(bb * H, dh), e_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(bb, H, bw)
+
+    logits = (scores_f + bias) * (1.0 / math.sqrt(dh))
+    w_idx = j * bw + jax.lax.broadcasted_iota(jnp.int32, (bb, H, bw), 2)
+    live = w_idx < length
+    logits = jnp.where(live, logits, _NEG)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))  # [bb, H]
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new[..., None])  # [bb, H, bw] f32
+    p = jnp.where(live, p, 0.0)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1)
+    m_ref[:] = m_new
+
+    # fold V scales into the probabilities, re-quantize to int8 with a
+    # per-(batch, head) dynamic scale, and contract against raw int8 V
+    pv = p * vs.astype(jnp.float32)  # [bb, H, bw]
+    s_p = jnp.max(pv, axis=-1) / 127.0 + 1e-20  # [bb, H]
+    p8 = jnp.round(pv / s_p[..., None]).astype(jnp.int8)
+    res = jax.lax.dot_general(
+        p8, v_blk, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [bb, H, D]
+    # head-diagonal selection back to the merged channel axis
+    contrib = jnp.sum(
+        res.astype(jnp.float32) * (s_p[..., None] * sel_f[None]), axis=1
+    )  # [bb, D]
+    alpha_exp = jnp.sum(alpha[..., None] * sel_f[None], axis=1)  # [bb, D]
+    acc_ref[:] = acc_ref[:] * alpha_exp + contrib
+
+
+def _pick_blocks(B: int, W: int):
+    import os
+
+    override = os.environ.get("DECODE_ATTN_BLOCKS")
+    if override:
+        bb, bw = (int(x) for x in override.split(","))
+        return min(bb, B), min(bw, W)
+    bb = B if B < 16 else 16
+    bw = min(768, W)
+    return bb, bw
+
+
+@functools.partial(jax.jit, static_argnames=("n_head",))
+def _run(scalars, q8bd, sq, qh, kv8, e_rows, sc, *, n_head: int):
+    L, B, W, D2 = kv8.shape
+    D = D2 // 2
+    H = n_head
+    dh = D // H
+    bb, bw = _pick_blocks(B, W)
+    nb, nw = pl.cdiv(B, bb), pl.cdiv(W, bw)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, nw),
+        in_specs=[
+            pl.BlockSpec((bb, H, D), lambda i, j, s: (i, 0, 0)),
+            pl.BlockSpec((bb, H), lambda i, j, s: (i, 0)),
+            pl.BlockSpec((bb, H, dh), lambda i, j, s: (i, 0, 0)),
+            pl.BlockSpec((1, bb, bw, D2), lambda i, j, s: (s[0], i, j, 0)),
+            pl.BlockSpec((bw, dh), lambda i, j, s: (j, 0)),
+            pl.BlockSpec(
+                (1, bb, 2 * H, bw), lambda i, j, s: (s[0], i, 0, j)
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((bb, D), lambda i, j, s: (i, 0)),
+            pl.BlockSpec((bb, H), lambda i, j, s: (i, 0)),
+            pl.BlockSpec((bb, H), lambda i, j, s: (i, 0)),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, n_head=H, d_head=dh, bw=bw),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        # Mosaic only targets TPU; fall back to the interpreter on CPU so
+        # the int8 mode still runs (slowly) there. (The axon tunnel
+        # platform compiles Mosaic fine, so only plain cpu interprets.)
+        interpret=jax.default_backend() == "cpu",
+    )(scalars, q8bd, sq, qh, kv8, e_rows, sc)
+
+
+def expand_e_rows(e: jnp.ndarray, n: jnp.ndarray, W: int,
+                  dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Relative rows for a query at position n-1: [W, dh] with
+    out[w] = E[max_seq - n + w] (rows past the table are zero; they are
+    masked in the kernel anyway)."""
+    max_seq = e.shape[0]
+    e_pad = jnp.pad(e, ((0, W), (0, 0)))
+    rows = jax.lax.dynamic_slice_in_dim(e_pad, max_seq - n, W, 0)
+    return rows.astype(dtype)
+
+
+def decode_attn_cached(
+    q_t: jnp.ndarray,     # [B, H, dh]
+    kv8: jnp.ndarray,     # [L, B, W, 2D] int8 stacked cache
+    sc: jnp.ndarray,      # [L, B, 2H, W] bf16 scales
+    layer,                # int32 scalar (traced ok)
+    e_rows: jnp.ndarray,  # [W, dh] bf16 (expand_e_rows(e, length + 1, W))
+    length,               # int32 scalar: number of valid cached rows
+):
+    """Unnormalized flash decode over the cached rows of one layer.
+
+    Returns (acc [B, D] f32, m [B, H] f32, l [B, H] f32); fold in the
+    current token with merge_self."""
+    B, H, dh = q_t.shape
+    D = H * dh
+    qf = q_t.astype(jnp.float32)
+    sq = jnp.max(jnp.abs(qf), axis=-1) / 127.0 + 1e-20  # [B, H]
+    q8 = jnp.round(qf / sq[..., None]).astype(jnp.int8).reshape(B, D)
+    # block-diagonal layout built host-side: Mosaic has no int8 multiply,
+    # and bool-mask relayout to int8 tiling fails in-kernel
+    r_head = jnp.arange(D) // dh
+    q8bd = jnp.where(
+        r_head[None, None, :] == jnp.arange(H)[None, :, None],
+        q8[:, None, :], jnp.int8(0),
+    )  # [B, H, D] int8
+    qh = q_t.astype(jnp.bfloat16)
+    scalars = jnp.stack(
+        [jnp.asarray(layer, jnp.int32), jnp.asarray(length, jnp.int32)]
+    )
+    return _run(scalars, q8bd, sq.astype(jnp.float32), qh, kv8, e_rows, sc,
+                n_head=H)
+
+
+def merge_self(
+    acc: jnp.ndarray,     # [B, D] f32
+    m: jnp.ndarray,       # [B, H] f32
+    l: jnp.ndarray,       # [B, H] f32
+    q_t: jnp.ndarray,     # [B, H, dh]
+    k_t: jnp.ndarray,     # [B, D] current token's (unquantized) key row
+    v_t: jnp.ndarray,     # [B, D] current value row
+    e_last: jnp.ndarray,  # [dh] = E[max_seq - 1]
+) -> jnp.ndarray:
+    """Fold the current token into the flash triple exactly. Returns the
+    normalized attention output [B, D] (v_t's dtype)."""
+    B, H, dh = q_t.shape
+    D = H * dh
+    qf = q_t.astype(jnp.float32)
+    k4 = k_t.reshape(B, H, dh).astype(jnp.float32)
+    logit_s = (
+        jnp.sum(qf * k4, axis=-1) + qf @ e_last.astype(jnp.float32)
+    ) / math.sqrt(dh)  # [B, H]
+    m_f = jnp.maximum(m, logit_s)
+    a_old = jnp.exp(m - m_f)
+    a_new = jnp.exp(logit_s - m_f)
+    denom = l * a_old + a_new  # [B, H]
+    expand = lambda x: jnp.broadcast_to(
+        x[:, :, None], (B, H, dh)
+    ).reshape(B, D)
+    out = acc * expand(a_old) + v_t.astype(jnp.float32) * expand(a_new)
+    return (out / expand(denom)).astype(v_t.dtype)
+
+
+# ---- quantization helpers --------------------------------------------------
+def quantize_rows(t: jnp.ndarray, n_groups: int):
+    """[..., T, C] -> (int8 values [..., T, C], scales [..., G, T] bf16).
+
+    Symmetric per-(row, group) quantization with C split into n_groups
+    equal channel groups (pass 2*H for a merged K|V row). The scale layout
+    puts T on the lane axis so it stores unpadded (a [..., T, G] layout
+    would pad G -> 128 lanes in HBM)."""
+    *lead, T, C = t.shape
+    g = C // n_groups
+    t4 = t.reshape(*lead, T, n_groups, g).astype(jnp.float32)
+    s = jnp.max(jnp.abs(t4), axis=-1) / 127.0 + 1e-12  # [..., T, G]
+    q = jnp.round(t4 / s[..., None]).astype(jnp.int8).reshape(*lead, T, C)
+    ndim = q.ndim
+    perm = list(range(ndim - 2)) + [ndim - 1, ndim - 2]
+    s = jnp.transpose(s, perm)  # [..., G, T]
+    return q, s.astype(jnp.bfloat16)

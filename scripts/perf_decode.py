@@ -31,7 +31,9 @@ params = init_params(model, jax.random.PRNGKey(0))
 for B in [int(a) for a in (sys.argv[1:] or ["16", "32", "64", "128"])]:
     sp = SamplingParams(gen_len=G, max_input_len=1216, temperatures=(1.2, 1.2),
                         top_k=-1, top_p=0.7, penalty_coeff=0.5, seed=1)
-    sampler = Sampler(model, params, DEFAULT_VOCAB, sp)
+    import os
+    sampler = Sampler(model, params, DEFAULT_VOCAB, sp,
+                      kv_dtype=os.environ.get("KV_DTYPE", "native"))
     primers = np.ones((B, 1), np.int32)
     conds = np.tile(np.array([[0.8, 0.8]], np.float32), (B, 1))
     try:

@@ -23,7 +23,10 @@ FLAGSHIP = dict(
     vocab_size=1007, mode="continuous_concat", n_layer=20, n_head=16,
     d_model=768, d_inner=3072, d_condition=192, max_seq=2048, dropout=0.1,
 )
-B, T = 8, 1216
+import os
+
+B = int(os.environ.get("TRAIN_B", 8))
+T = int(os.environ.get("TRAIN_T", 1216))
 
 
 def run(remat, policy, attn, n_steps=10):

@@ -64,6 +64,15 @@ VMEM_LIMIT = 64 * 1024 * 1024
 #   "off"    -- no relative bias at all (WRONG numerics; plain flash)
 SREL_MODE = "full"
 
+# Skew implementation:
+#   "strided" -- ONE tpu.dynamic_rotate with a per-row stride (f32-only
+#                lowering, but a single pass over the band vs the static
+#                decomposition's 2*log2(bq) passes)
+#   "static"  -- log2(bq) slice+concat rolls + selects in the input dtype
+import os as _os
+
+SKEW_IMPL = _os.environ.get("MIDI_EMOTION_SKEW", "strided")
+
 
 def _dot(a, b, dims):
     """dot_general in the INPUT dtype with f32 accumulation: bf16 inputs
@@ -90,11 +99,18 @@ def _skew_band(band: jnp.ndarray, bq: int, bk: int) -> jnp.ndarray:
     """[..., bq, bq+bk] band -> [..., bq, bk] with
     out[..., a, b] = band[..., a, bq-1-a+b].
 
-    Implemented as per-row roll-right by the row index (bit-decomposed into
-    log2(bq) whole-array static rolls + selects), which places the wanted
-    window of every row at columns [bq-1, bq-1+bk).
+    Roll-right of row a by a places the wanted window of every row at
+    columns [bq-1, bq-1+bk). "strided": one tpu.dynamic_rotate whose shift
+    grows by 1 per row (32-bit-only lowering -> runs on the f32 band).
+    "static": the shift bit-decomposed into log2(bq) whole-array
+    slice+concat rolls + selects (any dtype).
     """
-    L = bq + bk
+    if SKEW_IMPL == "strided":
+        x = pltpu.roll(
+            band.astype(jnp.float32), 0, band.ndim - 1,
+            stride=1, stride_axis=band.ndim - 2,
+        )
+        return x[..., bq - 1 : bq - 1 + bk]
     rows = jax.lax.broadcasted_iota(jnp.int32, band.shape, band.ndim - 2)
     x = band
     shift = 1
@@ -119,6 +135,10 @@ def _unskew_band(dsrel: jnp.ndarray, bq: int, bk: int) -> jnp.ndarray:
         ],
         axis=-1,
     )
+    # NOTE: no strided variant here -- the left roll needs a negative
+    # per-row stride, and every workaround fails to lower (stride L-1
+    # exceeds Mosaic's per-vreg shift span; jnp.flip/rev is unimplemented
+    # in Mosaic). Static rolls remain for this adjoint only.
     rows = jax.lax.broadcasted_iota(jnp.int32, tmp.shape, tmp.ndim - 2)
     x = tmp
     shift = 1
@@ -179,7 +199,9 @@ def _flash_kernel(
             # VMEM traffic)
             start = max_seq - iq * bq + ik * bk - bq
             e_slice = e_ref[pl.ds(start, bq + bk), :].astype(q.dtype)
-            band = _dot(q, e_slice, ((2,), (1,))).astype(q.dtype)
+            band = _dot(q, e_slice, ((2,), (1,)))
+            if SKEW_IMPL != "strided":
+                band = band.astype(q.dtype)  # halves static-roll traffic
             if SREL_MODE == "full":
                 srel = _skew_band(band, bq, bk).astype(jnp.float32)
             else:  # "noskew" ablation: wrong numerics, no rolls
@@ -364,7 +386,9 @@ def _recompute_block(q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq,
     s = _bdot(q, k, ((2,), (2,)))  # [hpb, bq, bk]
     start = max_seq - iq * bq + ik * bk - bq
     e_slice = e_ref[pl.ds(start, bq + bk), :].astype(q.dtype)
-    band = _dot(q, e_slice, ((2,), (1,))).astype(q.dtype)
+    band = _dot(q, e_slice, ((2,), (1,)))
+    if SKEW_IMPL != "strided":
+        band = band.astype(q.dtype)
     srel = _skew_band(band, bq, bk).astype(jnp.float32)
     a = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 1) + iq * bq
     b = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 2) + ik * bk

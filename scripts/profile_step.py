@@ -28,8 +28,11 @@ lr = jnp.float32(2e-5)
 params, opt_state, m = step(params, opt_state, batch, jax.random.PRNGKey(0), lr)
 float(jax.device_get(m["loss"]))
 
+import shutil, os
+shutil.rmtree("/tmp/prof", ignore_errors=True)
+N_STEPS = 3
 jax.profiler.start_trace("/tmp/prof")
-for i in range(3):
+for i in range(N_STEPS):
     params, opt_state, m = step(params, opt_state, batch, jax.random.PRNGKey(i + 1), lr)
 float(jax.device_get(m["loss"]))
 jax.profiler.stop_trace()
@@ -46,6 +49,6 @@ for p in paths:
             cat = ev.get("args", {}).get("long_name", "") or ev.get("name", "")
             pid = ev.get("pid", 0)
             tot[(pid, ev.get("name", ""))] += ev["dur"]
-# print top 40
-for (pid, name), us in tot.most_common(40):
-    print(f"{us/1000:10.2f} ms  pid={pid}  {name[:110]}")
+# print top 60, per step
+for (pid, name), us in tot.most_common(60):
+    print(f"{us/1000/N_STEPS:10.3f} ms/step  pid={pid}  {name[:110]}")

@@ -119,6 +119,77 @@ def test_int8_sampler_generates():
     # noise flips samples -- logit proximity is asserted below instead)
 
 
+@pytest.mark.parametrize("mode", ["discrete_token", "continuous_token"])
+def test_int8_sampler_other_modes(mode):
+    """int8 decode works for the sequence-prefix conditioning modes too
+    (prefix slots live in the cache like any other row)."""
+    from midi_emotion_tpu.generation.sampler import Sampler
+    from midi_emotion_tpu.models.config import ModelConfig
+    from midi_emotion_tpu.models.model import MusicTransformer, init_params
+    from midi_emotion_tpu.ops.sampling import SamplingParams
+    from midi_emotion_tpu.vocab import DEFAULT_VOCAB
+
+    vocab = DEFAULT_VOCAB
+    extra = 0
+    if mode == "discrete_token":
+        vocab = DEFAULT_VOCAB.with_extra_tokens(
+            ["<A-2>", "<A2>", "<V-2>", "<V2>"]
+        )
+        extra = 4
+    cfg = ModelConfig(
+        vocab_size=vocab.base_size + extra, mode=mode,
+        n_layer=2, n_head=4, d_model=192, d_inner=256, d_condition=-1,
+        max_seq=512, dropout=0.0,
+    ).validate()
+    model = MusicTransformer(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    G, B = 40, 2
+    sp = SamplingParams(gen_len=G, max_input_len=96, temperatures=(1.2, 1.2),
+                        top_k=-1, top_p=0.7, penalty_coeff=0.5, seed=3)
+    primers = np.ones((B, 1), np.int32)
+    kwargs = {}
+    if mode == "discrete_token":
+        kwargs["discrete_prefix_ids"] = np.full((B, 2), vocab.base_size, np.int32)
+    else:
+        kwargs["continuous_conditions"] = np.tile(
+            np.array([[0.5, -0.5]], np.float32), (B, 1)
+        )
+    with pltpu.force_tpu_interpret_mode():
+        sampler = Sampler(model, params, vocab, sp, kv_dtype="int8")
+        song = sampler.generate(primers, **kwargs)
+    assert song.shape == (B, G)
+    assert (song >= 0).all() and (song < cfg.vocab_size).all()
+
+
+def test_int8_sampler_sliding_window():
+    """int8 decode through the window-sliding region (re-prefill with the
+    stacked cache + staged growth)."""
+    from midi_emotion_tpu.generation.sampler import Sampler
+    from midi_emotion_tpu.models.config import ModelConfig
+    from midi_emotion_tpu.models.model import MusicTransformer, init_params
+    from midi_emotion_tpu.ops.sampling import SamplingParams
+    from midi_emotion_tpu.vocab import DEFAULT_VOCAB
+
+    cfg = ModelConfig(
+        vocab_size=DEFAULT_VOCAB.base_size, mode="continuous_concat",
+        n_layer=2, n_head=4, d_model=192, d_inner=256, d_condition=48,
+        max_seq=256, dropout=0.0,
+    ).validate()
+    model = MusicTransformer(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    G = 80  # > max_input_len: exercises the hop/re-prefill path
+    sp = SamplingParams(gen_len=G, max_input_len=48, temperatures=(1.2, 1.2),
+                        top_k=-1, top_p=0.7, penalty_coeff=0.5, seed=3)
+    primers = np.ones((2, 1), np.int32)
+    conds = np.tile(np.array([[0.2, 0.8]], np.float32), (2, 1))
+    with pltpu.force_tpu_interpret_mode():
+        sampler = Sampler(model, params, DEFAULT_VOCAB, sp, kv_dtype="int8",
+                          cache_stage=64)
+        song = sampler.generate(primers, continuous_conditions=conds)
+    assert song.shape == (2, G)
+    assert (song >= 0).all() and (song < cfg.vocab_size).all()
+
+
 def test_int8_decode_logits_match_exact():
     """prefill_q + decode_step_q logits track the exact path's within
     int8 quantization error on the same tokens."""

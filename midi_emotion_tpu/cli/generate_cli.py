@@ -62,9 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--attn_impl", type=str, default="xla", choices=["xla", "pallas"]
     )
     p.add_argument(
-        "--kv_dtype", type=str, default="native", choices=["native", "int8"],
-        help="decode KV cache: 'int8' = quantized cache + fused Pallas "
-        "kernel (faster at large batch; not bit-exact)",
+        "--kv_dtype", type=str, default="native",
+        choices=["native", "int8", "bf16"],
+        help="decode KV cache: 'int8' = quantized stacked cache + fused "
+        "Pallas kernel (fastest at large batch; not bit-exact); 'bf16' = "
+        "the same stacked layout unquantized (parity-speed at the "
+        "flagship shape)",
     )
     return p
 

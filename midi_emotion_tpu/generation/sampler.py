@@ -57,7 +57,7 @@ class Sampler:
     ):
         cfg = model.config
         assert not cfg.is_regression, "regression models cannot generate"
-        assert kv_dtype in ("native", "int8"), kv_dtype
+        assert kv_dtype in ("native", "int8", "bf16"), kv_dtype
         self.model = model
         self.params = params
         self.vocab = vocab
@@ -67,15 +67,19 @@ class Sampler:
         # "int8": stacked quantized KV cache + fused Pallas decode kernel
         # (ops/decode_attention.py) -- ~half the HBM traffic per decoded
         # token; sampled tokens can differ from the bit-exact "native"
-        # path within int8 quantization error
+        # path within int8 quantization error. "bf16": the same stacked
+        # layout + fused kernel WITHOUT quantization -- unquantized cache
+        # numerics, still collects the deferred-append and fused-softmax
+        # wins (tokens can differ from "native" only by the online-softmax
+        # summation order).
         self.kv_dtype = kv_dtype
         self._prefill_method = (
-            MusicTransformer.prefill_q if kv_dtype == "int8"
-            else MusicTransformer.prefill
+            MusicTransformer.prefill if kv_dtype == "native"
+            else MusicTransformer.prefill_q
         )
         self._decode_method = (
-            MusicTransformer.decode_step_q if kv_dtype == "int8"
-            else MusicTransformer.decode_step
+            MusicTransformer.decode_step if kv_dtype == "native"
+            else MusicTransformer.decode_step_q
         )
 
         self.exclude_mask = jnp.asarray(vocab.special_mask())
@@ -92,12 +96,14 @@ class Sampler:
         model, cfg = self.model, self.cfg
 
         prefill_method = self._prefill_method
+        extra = () if self.kv_dtype == "native" else (self.kv_dtype == "int8",)
 
         @jax.jit
         def run(params, prompt, cond):
             variables = {"params": params}
             logits, cache = model.apply(
-                variables, prompt, cond, window, method=prefill_method
+                variables, prompt, cond, window, *extra,
+                method=prefill_method,
             )
             ce = jnp.zeros((prompt.shape[0], 1), jnp.float32)
             if cfg.mode == "continuous_concat":
@@ -127,17 +133,19 @@ class Sampler:
             # staging when the full cache exceeds the threshold.
             if quant:
                 def pad_all(c):
-                    return {
+                    out = {
                         "kv": jnp.pad(
                             c["kv"], ((0, 0), (0, 0), (0, grow), (0, 0))
                         ),
-                        "sc": jnp.pad(
-                            c["sc"], ((0, 0), (0, 0), (0, 0), (0, grow))
-                        ),
                         "row": c["row"],
-                        "rsc": c["rsc"],
                         "length": c["length"],
                     }
+                    if "sc" in c:
+                        out["sc"] = jnp.pad(
+                            c["sc"], ((0, 0), (0, 0), (0, 0), (0, grow))
+                        )
+                        out["rsc"] = c["rsc"]
+                    return out
             else:
                 def pad_all(c):
                     pad = lambda x: jnp.pad(x, ((0, 0), (0, grow), (0, 0)))
@@ -427,6 +435,8 @@ class Sampler:
         )
         if self.kv_dtype == "int8":
             itemsize = 1.1  # int8 rows + ~8% bf16 scales
+        elif self.kv_dtype == "bf16":
+            itemsize = 2
         else:
             itemsize = 2 if self.model.dtype == jnp.bfloat16 else 4
         full_cache_bytes = (

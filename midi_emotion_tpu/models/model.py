@@ -129,15 +129,15 @@ class RelativeGlobalAttention(nn.Module):
         self,
         x_t: jnp.ndarray,
         kv8: jnp.ndarray,
-        sc: jnp.ndarray,
+        sc,  # scales, or None for the unquantized bf16 stacked cache
         layer_idx: int,
         length: jnp.ndarray,
     ):
-        """One-token step against the stacked int8 cache (see
+        """One-token step against the stacked (int8 or bf16) cache (see
         ops/decode_attention.py). ``length`` counts CACHED rows (the
         current token is folded in exactly via merge_self and returned as
-        the next pending row). Returns (attn_out [B, d], pending int8 row
-        [B, 2d], pending scales [B, 2H])."""
+        the next pending row). Returns (attn_out [B, d], pending row
+        [B, 2d], pending scales [B, 2H] or None)."""
         from ..ops.decode_attention import (
             decode_attn_cached, expand_e_rows, merge_self, quantize_rows,
         )
@@ -152,6 +152,8 @@ class RelativeGlobalAttention(nn.Module):
         acc, m, l = decode_attn_cached(q, kv8, sc, layer_idx, e_rows, length)
         out = merge_self(acc, m, l, q, k_t, v_t, e[-1])  # [B, d]
         row = jnp.concatenate([k_t, v_t], axis=-1)  # [B, 2d]
+        if sc is None:
+            return self.fc(out), row.astype(jnp.bfloat16), None
         row8, rsc = quantize_rows(row[:, None, :], 2 * self.n_head)
         return self.fc(out), row8[:, 0], rsc[:, :, 0]
 
@@ -393,11 +395,13 @@ class MusicTransformer(nn.Module):
         tokens: jnp.ndarray,
         condition: Optional[jnp.ndarray],
         window: int,
+        quantize: bool = True,
     ) -> Tuple[jnp.ndarray, Cache]:
-        """Prefill into the STACKED int8 cache (ops/decode_attention.py):
-        kv [L, B, W, 2d] int8 rows (K|V merged), sc [L, B, 2H, W] bf16
-        per-(row, head) scales, plus the pending-row buffers the deferred
-        append uses. Returns (last-position logits, cache)."""
+        """Prefill into the STACKED cache (ops/decode_attention.py):
+        kv [L, B, W, 2d] K|V-merged rows -- int8 with [L, B, 2H, W] bf16
+        per-(row, head) scales when ``quantize``, plain bf16 otherwise --
+        plus the pending-row buffers the deferred append uses. Returns
+        (last-position logits, cache)."""
         from ..ops.decode_attention import quantize_rows
 
         cfg = self.config
@@ -408,22 +412,26 @@ class MusicTransformer(nn.Module):
             x, k, v = layer(x, pad_keys, causal, True, True)
             merge = lambda y: y.transpose(0, 2, 1, 3).reshape(B, T, -1)
             rows = jnp.concatenate([merge(k), merge(v)], axis=-1)
-            row8, rsc = quantize_rows(rows, 2 * cfg.n_head)  # [B,T,2d],[B,2H,T]
+            if quantize:
+                row8, rsc = quantize_rows(rows, 2 * cfg.n_head)
+                scs.append(jnp.pad(rsc, ((0, 0), (0, 0), (0, window - T))))
+            else:
+                row8 = rows.astype(jnp.bfloat16)
             kv8s.append(jnp.pad(row8, ((0, 0), (0, window - T), (0, 0))))
-            scs.append(jnp.pad(rsc, ((0, 0), (0, 0), (0, window - T))))
         logits = self.fc(x[:, -1, :])
         kv8 = jnp.stack(kv8s)  # [L, B, W, 2d]
-        sc = jnp.stack(scs)    # [L, B, 2H, W]
         # pending = a copy of the last prompt row; the first decode step
         # re-appends it in place (identical bytes, a no-op semantically),
         # keeping the scan body uniform
         cache: Cache = {
             "kv": kv8,
-            "sc": sc,
             "row": kv8[:, :, T - 1, :],
-            "rsc": sc[:, :, :, T - 1],
             "length": jnp.asarray(T, jnp.int32),
         }
+        if quantize:
+            sc = jnp.stack(scs)  # [L, B, 2H, W]
+            cache["sc"] = sc
+            cache["rsc"] = sc[:, :, :, T - 1]
         return logits, cache
 
     def decode_step_q(
@@ -437,16 +445,19 @@ class MusicTransformer(nn.Module):
         point of the deferred-append layout), then run each layer's fused
         kernel + exact self-term merge."""
         cfg = self.config
+        quant = "sc" in cache
         length = cache["length"]  # rows including pending
         pos = length - 1
         kv8 = jax.lax.dynamic_update_slice(
             cache["kv"], cache["row"][:, :, None, :],
             (0, 0, pos, 0),
         )
-        sc = jax.lax.dynamic_update_slice(
-            cache["sc"], cache["rsc"][:, :, :, None],
-            (0, 0, 0, pos),
-        )
+        sc = None
+        if quant:
+            sc = jax.lax.dynamic_update_slice(
+                cache["sc"], cache["rsc"][:, :, :, None],
+                (0, 0, 0, pos),
+            )
         x = self.embedding(token_t)
         if cfg.mode == "continuous_token":
             x = x * math.sqrt(cfg.d_model)
@@ -464,11 +475,12 @@ class MusicTransformer(nn.Module):
         logits = self.fc(x)
         new_cache: Cache = {
             "kv": kv8,
-            "sc": sc,
             "row": jnp.stack(rows),
-            "rsc": jnp.stack(rscs),
             "length": length + 1,
         }
+        if quant:
+            new_cache["sc"] = sc
+            new_cache["rsc"] = jnp.stack(rscs)
         return logits, new_cache
 
     def decode_step(

@@ -72,12 +72,13 @@ _NEG = -1e30
 
 def _kernel(
     s_ref,       # scalar-prefetch [2] int32: (layer, n_cached)
-    q8bd_ref,    # [bb, H, D] int8 block-diagonal quantized query
-    sq_ref,      # [bb, H] f32 query scales
+    q8bd_ref,    # [bb, H, D] block-diagonal query (int8 quantized, or
+                 # bf16 when the cache is unquantized)
+    sq_ref,      # [bb, H] f32 query scales (None when unquantized)
     qh_ref,      # [bb, H, dh] bf16 raw per-head query (for the bias dot)
-    kv_ref,      # [1, bb, bw, 2D] int8 (this layer's K|V block)
+    kv_ref,      # [1, bb, bw, 2D] int8|bf16 (this layer's K|V block)
     e_ref,       # [bw, dh] bf16 relative rows for this window block
-    sc_ref,      # [1, bb, 2H, bw] bf16 K|V scales
+    sc_ref,      # [1, bb, 2H, bw] bf16 K|V scales (None when unquantized)
     acc_ref,     # out [bb, D] f32 (unnormalized PV)
     m_ref,       # out [bb, H] f32 (running max)
     l_ref,       # out [bb, H] f32 (running denominator)
@@ -85,6 +86,7 @@ def _kernel(
     n_head: int,
     d_head: int,
     bw: int,
+    quant: bool,
 ):
     j = pl.program_id(1)
     bb, H, D = q8bd_ref.shape
@@ -102,22 +104,29 @@ def _kernel(
     h_row = jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
     sel_f = (r_head == h_row).astype(jnp.float32)
 
-    k_blk = kv_ref[0, :, :, :D]  # [bb, bw, D] int8
+    k_blk = kv_ref[0, :, :, :D]  # [bb, bw, D]
     v_blk = kv_ref[0, :, :, D:]
-    ks = sc_ref[0, :, :H, :]     # [bb, H, bw]
-    vs = sc_ref[0, :, H:, :]
 
-    # scores: int8 block-diagonal q against the raw int8 K block (MXU
-    # int8 x int8 -> int32; the cache is never converted)
-    scores = jax.lax.dot_general(
-        q8bd_ref[:], k_blk, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32,
-    )  # [bb, H, bw]
-    scores_f = (
-        scores.astype(jnp.float32)
-        * sq_ref[:][:, :, None]
-        * ks.astype(jnp.float32)
-    )
+    if quant:
+        # scores: int8 block-diagonal q against the raw int8 K block (MXU
+        # int8 x int8 -> int32; the cache is never converted)
+        ks = sc_ref[0, :, :H, :]  # [bb, H, bw]
+        vs = sc_ref[0, :, H:, :]
+        scores = jax.lax.dot_general(
+            q8bd_ref[:], k_blk, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # [bb, H, bw]
+        scores_f = (
+            scores.astype(jnp.float32)
+            * sq_ref[:][:, :, None]
+            * ks.astype(jnp.float32)
+        )
+    else:
+        # bf16 cache: native bf16 MXU dot, no scales
+        scores_f = jax.lax.dot_general(
+            q8bd_ref[:], k_blk, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bb, H, bw]
 
     # relative bias: unquantized per-head q against the E rows -- a
     # [bb*H, dh] x [dh, bw] dot
@@ -139,24 +148,29 @@ def _kernel(
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1)
     m_ref[:] = m_new
 
-    # fold V scales into the probabilities, re-quantize to int8 with a
-    # per-(batch, head) dynamic scale, and contract against raw int8 V
-    pv = p * vs.astype(jnp.float32)  # [bb, H, bw]
-    s_p = jnp.max(pv, axis=-1) / 127.0 + 1e-20  # [bb, H]
-    p8 = jnp.round(pv / s_p[..., None]).astype(jnp.int8)
-    res = jax.lax.dot_general(
-        p8, v_blk, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32,
-    )  # [bb, H, D]
+    if quant:
+        # fold V scales into the probabilities, re-quantize to int8 with
+        # a per-(batch, head) dynamic scale, contract against raw int8 V
+        pv = p * vs.astype(jnp.float32)  # [bb, H, bw]
+        s_p = jnp.max(pv, axis=-1) / 127.0 + 1e-20  # [bb, H]
+        p8 = jnp.round(pv / s_p[..., None]).astype(jnp.int8)
+        res = jax.lax.dot_general(
+            p8, v_blk, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # [bb, H, D]
+        res_f = res.astype(jnp.float32) * s_p[..., None]
+    else:
+        res_f = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_blk, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bb, H, D]
     # head-diagonal selection back to the merged channel axis
-    contrib = jnp.sum(
-        res.astype(jnp.float32) * (s_p[..., None] * sel_f[None]), axis=1
-    )  # [bb, D]
+    contrib = jnp.sum(res_f * sel_f[None], axis=1)  # [bb, D]
     alpha_exp = jnp.sum(alpha[..., None] * sel_f[None], axis=1)  # [bb, D]
     acc_ref[:] = acc_ref[:] * alpha_exp + contrib
 
 
-def _pick_blocks(B: int, W: int):
+def _pick_blocks(B: int, W: int, D2: int, itemsize: int):
     import os
 
     override = os.environ.get("DECODE_ATTN_BLOCKS")
@@ -164,11 +178,15 @@ def _pick_blocks(B: int, W: int):
         bb, bw = (int(x) for x in override.split(","))
         return min(bb, B), min(bw, W)
     # bb=8 with full-width blocks measured best end-to-end (20.65k vs
-    # 20.2k tok/s at B=64 over (16, 768)); bw must stay a multiple of 128
-    # (the [.., 2H, bw] scales block requires it) -- W always is
+    # 20.2k tok/s at B=64 over (16, 768)). bw MUST equal W: a partial tail
+    # block reads out of bounds, which crashed the TPU worker outright
+    # (bf16 cache, W=1408, bw=768); bw also has to stay a multiple of 128
+    # for the [.., 2H, bw] scales block -- W always is.
     bb = B if B < 8 else 8
-    bw = min(1536, W)
-    return bb, bw
+    # keep double-buffered K|V blocks within ~3/4 of the VMEM budget
+    while bb > 1 and 2 * bb * W * D2 * itemsize > 75e6:
+        bb //= 2
+    return bb, W
 
 
 @functools.partial(jax.jit, static_argnames=("n_head",))
@@ -177,22 +195,36 @@ def _run(scalars, q8bd, sq, qh, kv8, e_rows, sc, *, n_head: int):
     D = D2 // 2
     H = n_head
     dh = D // H
-    bb, bw = _pick_blocks(B, W)
+    quant = sc is not None
+    bb, bw = _pick_blocks(B, W, D2, 1 if quant else 2)
     nb, nw = pl.cdiv(B, bb), pl.cdiv(W, bw)
+
+    in_specs = [
+        pl.BlockSpec((bb, H, D), lambda i, j, s: (i, 0, 0)),
+        pl.BlockSpec((bb, H), lambda i, j, s: (i, 0)),
+        pl.BlockSpec((bb, H, dh), lambda i, j, s: (i, 0, 0)),
+        pl.BlockSpec((1, bb, bw, D2), lambda i, j, s: (s[0], i, j, 0)),
+        pl.BlockSpec((bw, dh), lambda i, j, s: (j, 0)),
+    ]
+    args = [scalars, q8bd, sq, qh, kv8, e_rows]
+    body = functools.partial(_kernel, n_head=H, d_head=dh, bw=bw,
+                             quant=quant)
+    if quant:
+        in_specs.append(
+            pl.BlockSpec((1, bb, 2 * H, bw), lambda i, j, s: (s[0], i, 0, j))
+        )
+        args.append(sc)
+        kernel = body
+    else:
+        in_specs.pop(1)  # no sq
+        args.pop(2)
+        def kernel(sr, qbdr, qhr, kvr, er, accr, mr, lr):
+            body(sr, qbdr, None, qhr, kvr, er, None, accr, mr, lr)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb, nw),
-        in_specs=[
-            pl.BlockSpec((bb, H, D), lambda i, j, s: (i, 0, 0)),
-            pl.BlockSpec((bb, H), lambda i, j, s: (i, 0)),
-            pl.BlockSpec((bb, H, dh), lambda i, j, s: (i, 0, 0)),
-            pl.BlockSpec((1, bb, bw, D2), lambda i, j, s: (s[0], i, j, 0)),
-            pl.BlockSpec((bw, dh), lambda i, j, s: (j, 0)),
-            pl.BlockSpec(
-                (1, bb, 2 * H, bw), lambda i, j, s: (s[0], i, 0, j)
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((bb, D), lambda i, j, s: (i, 0)),
             pl.BlockSpec((bb, H), lambda i, j, s: (i, 0)),
@@ -200,7 +232,7 @@ def _run(scalars, q8bd, sq, qh, kv8, e_rows, sc, *, n_head: int):
         ),
     )
     return pl.pallas_call(
-        functools.partial(_kernel, n_head=H, d_head=dh, bw=bw),
+        kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, D), jnp.float32),
@@ -209,10 +241,11 @@ def _run(scalars, q8bd, sq, qh, kv8, e_rows, sc, *, n_head: int):
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         # Mosaic only targets TPU; fall back to the interpreter on CPU so
-        # the int8 mode still runs (slowly) there. (The axon tunnel
-        # platform compiles Mosaic fine, so only plain cpu interprets.)
+        # the quantized/stacked modes still run (slowly) there. (The axon
+        # tunnel platform compiles Mosaic fine, so only plain cpu
+        # interprets.)
         interpret=jax.default_backend() == "cpu",
-    )(scalars, q8bd, sq, qh, kv8, e_rows, sc)
+    )(*args)
 
 
 def expand_e_rows(e: jnp.ndarray, n: jnp.ndarray, W: int,
@@ -228,8 +261,8 @@ def expand_e_rows(e: jnp.ndarray, n: jnp.ndarray, W: int,
 
 def decode_attn_cached(
     q_t: jnp.ndarray,     # [B, H, dh]
-    kv8: jnp.ndarray,     # [L, B, W, 2D] int8 stacked cache
-    sc: jnp.ndarray,      # [L, B, 2H, W] bf16 scales
+    kv8: jnp.ndarray,     # [L, B, W, 2D] int8 (or bf16) stacked cache
+    sc,                   # [L, B, 2H, W] bf16 scales, or None (bf16 cache)
     layer,                # int32 scalar (traced ok)
     e_rows: jnp.ndarray,  # [W, dh] bf16 (expand_e_rows(e, length + 1, W))
     length,               # int32 scalar: number of valid cached rows
@@ -240,22 +273,25 @@ def decode_attn_cached(
     current token with merge_self."""
     B, H, dh = q_t.shape
     D = H * dh
-    qf = q_t.astype(jnp.float32)
-    sq = jnp.max(jnp.abs(qf), axis=-1) / 127.0 + 1e-20  # [B, H]
-    q8 = jnp.round(qf / sq[..., None]).astype(jnp.int8).reshape(B, D)
-    # block-diagonal layout built host-side: Mosaic has no int8 multiply,
-    # and bool-mask relayout to int8 tiling fails in-kernel
     r_head = jnp.arange(D) // dh
-    q8bd = jnp.where(
-        r_head[None, None, :] == jnp.arange(H)[None, :, None],
-        q8[:, None, :], jnp.int8(0),
-    )  # [B, H, D] int8
+    diag = r_head[None, None, :] == jnp.arange(H)[None, :, None]
+    if sc is not None:
+        qf = q_t.astype(jnp.float32)
+        sq = jnp.max(jnp.abs(qf), axis=-1) / 127.0 + 1e-20  # [B, H]
+        q8 = jnp.round(qf / sq[..., None]).astype(jnp.int8).reshape(B, D)
+        # block-diagonal layout built host-side: Mosaic has no int8
+        # multiply, and bool-mask relayout to int8 tiling fails in-kernel
+        qbd = jnp.where(diag, q8[:, None, :], jnp.int8(0))  # [B, H, D]
+        sq = sq.astype(jnp.float32)
+    else:
+        q2 = q_t.reshape(B, D).astype(jnp.bfloat16)
+        qbd = jnp.where(diag, q2[:, None, :], jnp.bfloat16(0))
+        sq = None
     qh = q_t.astype(jnp.bfloat16)
     scalars = jnp.stack(
         [jnp.asarray(layer, jnp.int32), jnp.asarray(length, jnp.int32)]
     )
-    return _run(scalars, q8bd, sq.astype(jnp.float32), qh, kv8, e_rows, sc,
-                n_head=H)
+    return _run(scalars, qbd, sq, qh, kv8, e_rows, sc, n_head=H)
 
 
 def merge_self(

@@ -190,6 +190,68 @@ def test_int8_sampler_sliding_window():
     assert (song >= 0).all() and (song < cfg.vocab_size).all()
 
 
+def test_bf16_stacked_sampler_matches_native():
+    """kv_dtype="bf16" (stacked unquantized cache + fused kernel) tracks
+    the native path tightly: same cache values, only the online-softmax
+    summation order differs."""
+    from midi_emotion_tpu.generation.sampler import Sampler
+    from midi_emotion_tpu.models.config import ModelConfig
+    from midi_emotion_tpu.models.model import MusicTransformer, init_params
+    from midi_emotion_tpu.ops.sampling import SamplingParams
+    from midi_emotion_tpu.vocab import DEFAULT_VOCAB
+
+    cfg = ModelConfig(
+        vocab_size=DEFAULT_VOCAB.base_size, mode="continuous_concat",
+        n_layer=2, n_head=4, d_model=192, d_inner=256, d_condition=48,
+        max_seq=512, dropout=0.0,
+    ).validate()
+    model = MusicTransformer(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    variables = {"params": params}
+    B, T, W = 2, 12, 128
+    tokens = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(5), (B, T), 2, 900), np.int32
+    )
+    cond = jnp.asarray([[0.5, -0.5], [0.1, 0.9]], jnp.float32)
+    ce = model.apply(variables, cond,
+                     method=MusicTransformer.condition_embedding)
+
+    logits_e, cache_e = model.apply(
+        variables, tokens, cond, W, method=MusicTransformer.prefill
+    )
+    with pltpu.force_tpu_interpret_mode():
+        logits_s, cache_s = model.apply(
+            variables, tokens, cond, W, False,
+            method=MusicTransformer.prefill_q,
+        )
+    np.testing.assert_allclose(logits_e, logits_s, rtol=0, atol=1e-4)
+    assert "sc" not in cache_s and cache_s["kv"].dtype == jnp.bfloat16
+
+    next_tok = jnp.asarray([5, 7], jnp.int32)
+    le, _ = model.apply(variables, next_tok, ce, cache_e,
+                        method=MusicTransformer.decode_step)
+    with pltpu.force_tpu_interpret_mode():
+        ls, cs = model.apply(variables, next_tok, ce, cache_s,
+                             method=MusicTransformer.decode_step_q)
+    le, ls = np.asarray(le, np.float32), np.asarray(ls, np.float32)
+    scale = np.abs(le).max()
+    # f32 model vs bf16 stacked cache: bf16 rounding of cached rows only
+    assert np.abs(ls - le).max() / scale < 0.02, np.abs(ls - le).max() / scale
+    assert int(cs["length"]) == T + 1
+
+    # end-to-end smoke with sliding/growth
+    G = 60
+    sp = SamplingParams(gen_len=G, max_input_len=48, temperatures=(1.2, 1.2),
+                        top_k=-1, top_p=0.7, penalty_coeff=0.5, seed=3)
+    with pltpu.force_tpu_interpret_mode():
+        sampler = Sampler(model, params, DEFAULT_VOCAB, sp, kv_dtype="bf16",
+                          cache_stage=64)
+        song = sampler.generate(np.ones((B, 1), np.int32),
+                                continuous_conditions=np.asarray(cond))
+    assert song.shape == (B, G)
+    assert (song >= 0).all() and (song < cfg.vocab_size).all()
+
+
 def test_int8_decode_logits_match_exact():
     """prefill_q + decode_step_q logits track the exact path's within
     int8 quantization error on the same tokens."""

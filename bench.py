@@ -16,7 +16,14 @@ cheaper and more stable than running 1000+ CPU forwards. The fitted number
 is cached in BASELINE_CPU.json.
 
 Extra keys (same JSON object): train_tokens_per_sec_per_chip for the
-flagship training step, and the generation batch size.
+flagship training step, the generation batch size, a best-known serving
+entry (int8 KV cache at the swept-best batch), and roofline context
+(train_mfu against v5e bf16 peak, decode_gbps against HBM bandwidth).
+
+Baseline caveat (ADVICE r2): the CPU batch-scale ratio is measured at one
+length (T=256); if reference batch scaling differs at T~1024 the
+vs_baseline multiplier carries that extrapolation error (noted in the
+JSON as baseline_note).
 """
 
 import argparse
@@ -42,6 +49,24 @@ FLAGSHIP = dict(
     max_seq=2048,
     dropout=0.1,
 )
+
+
+# v5e public peak numbers (How to Scale Your Model, jax-ml.github.io):
+PEAK_BF16_TFLOPS = 197.0
+PEAK_HBM_GBPS = 819.0
+
+
+def model_flops_per_token_train(cfg: dict, T: int) -> float:
+    """Matmul-only model FLOPs per trained token (fwd + bwd = 3x fwd).
+
+    Counts the QKVO/FFN/head projections plus the two attention
+    contractions at the causal average length (the standard MFU
+    convention -- kernel recompute and the relative-bias band matmuls are
+    deliberately NOT counted, so MFU stays comparable across impls)."""
+    d, L, di, V = cfg["d_model"], cfg["n_layer"], cfg["d_inner"], cfg["vocab_size"]
+    t_avg = (T + 1) / 2.0
+    fwd = 2 * d * V + L * (8 * d * d + 4 * d * di + 4 * d * t_avg)
+    return 3.0 * fwd
 
 
 def measure_reference_cpu(gen_len: int, batch: int) -> float:
@@ -125,6 +150,8 @@ def main():
     ap.add_argument("--gen_len", type=int, default=1024)
     ap.add_argument("--gen_batch", type=int, default=64)
     ap.add_argument("--train_batch", type=int, default=8)
+    ap.add_argument("--serve_batch", type=int, default=128,
+                    help="batch for the best-known int8 serving entry")
     ap.add_argument("--attn_impl", type=str, default="pallas")
     ap.add_argument("--quick", action="store_true", help="tiny smoke sizes")
     ap.add_argument("--skip_train", action="store_true")
@@ -193,6 +220,38 @@ def main():
                           rng=_jax.random.PRNGKey(456))
         result["gen_tokens_per_sec_int8kv"] = round(gen_tokens / (time.time() - t0), 1)
 
+        # best-known SERVING config: same int8 path at the swept-best
+        # batch (throughput keeps rising to the HBM-residency limit;
+        # B=192 OOMs at this window)
+        SB = args.serve_batch
+        primers_s = np.ones((SB, 1), np.int32)
+        conds_s = np.tile(np.array([[0.8, 0.8]], np.float32), (SB, 1))
+        sampler_s = Sampler(model, params, DEFAULT_VOCAB, sp, kv_dtype="int8")
+        sampler_s.generate(primers_s, continuous_conditions=conds_s,
+                           rng=_jax.random.PRNGKey(123))
+        t0 = time.time()
+        sampler_s.generate(primers_s, continuous_conditions=conds_s,
+                           rng=_jax.random.PRNGKey(456))
+        serve_s = time.time() - t0
+        serve_tps = SB * (G - 1) / serve_s
+        result["serving_tokens_per_sec"] = round(serve_tps, 1)
+        result["serving_batch"] = SB
+        result["serving_kv_dtype"] = "int8"
+        # decode roofline: bytes the fused kernel streams per step at the
+        # full window (int8 K|V rows + bf16 scales). Steady-state upper
+        # bound -- staged cache growth makes early steps cheaper.
+        hop = max(1, 1216 // 8)
+        W = min((1216 + hop + 127) // 128 * 128, FLAGSHIP["max_seq"])
+        D = FLAGSHIP["d_model"]
+        H = FLAGSHIP["n_head"]
+        Lr = FLAGSHIP["n_layer"]
+        bytes_step = Lr * SB * W * 2 * D * 1 + Lr * SB * 2 * H * W * 2
+        result["decode_bytes_per_step_gb"] = round(bytes_step / 1e9, 3)
+        result["decode_gbps"] = round(
+            bytes_step * (serve_tps / SB) / 1e9, 1
+        )
+        result["decode_gbps_peak"] = PEAK_HBM_GBPS
+
     if not args.skip_train:
         from midi_emotion_tpu.parallel import mesh as mesh_lib
         from midi_emotion_tpu.training.train_step import (
@@ -228,8 +287,14 @@ def main():
         float(jax.device_get(m["loss"]))  # host fetch = real completion
         train_s = (time.time() - t0) / n_steps
         n_chips = len(jax.devices())
-        result["train_tokens_per_sec_per_chip"] = round(TB * T / train_s / n_chips, 1)
+        train_tps = TB * T / train_s / n_chips
+        result["train_tokens_per_sec_per_chip"] = round(train_tps, 1)
         result["train_batch"] = TB
+        # roofline context: matmul-only model FLOPs vs v5e bf16 peak
+        fpt = model_flops_per_token_train(FLAGSHIP, T)
+        result["train_model_flops_per_token"] = round(fpt / 1e9, 4)
+        result["train_mfu"] = round(train_tps * fpt / (PEAK_BF16_TFLOPS * 1e12), 4)
+        result["train_peak_bf16_tflops"] = PEAK_BF16_TFLOPS
 
     # SAME-BATCH baseline: the reference loop fitted/integrated at the same
     # batch size as the TPU run, so vs_baseline is apples-to-apples
@@ -241,6 +306,10 @@ def main():
         round(baseline, 3) if np.isfinite(baseline) else None
     )
     result["baseline_batch"] = B
+    result["baseline_note"] = (
+        "CPU batch-scale ratio measured at T=256 only; the quadratic fit "
+        "extrapolates it to T<=1216 (see BASELINE_CPU.json)"
+    )
     print(json.dumps(result))
 
 

@@ -59,7 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
     p.add_argument("--no_amp", action="store_true", help="alias for --dtype f32")
     p.add_argument(
-        "--attn_impl", type=str, default="xla", choices=["xla", "pallas"]
+        "--attn_impl", type=str, default="auto",
+        choices=["auto", "xla", "pallas"],
+        help="prefill attention: 'auto' = the fused Pallas kernel on TPU "
+        "(bit-tested vs xla), the XLA closed form on CPU",
     )
     p.add_argument(
         "--kv_dtype", type=str, default="native",

@@ -80,14 +80,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_model", type=int, default=1,
                    help="tensor-parallel mesh size")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
-    p.add_argument("--attn_impl", type=str, default="xla", choices=["xla", "pallas"])
+    # "auto" = the benched-fast config out of the box: the fused Pallas
+    # flash kernel on TPU (bit-tested vs xla), the XLA closed form on CPU
+    p.add_argument("--attn_impl", type=str, default="auto",
+                   choices=["auto", "xla", "pallas"])
     # activation rematerialization in the bwd pass: "none" is the fastest
     # when activations fit (the Pallas flash path is O(T) memory, so the
-    # flagship fits without remat -- 411 vs 532 ms/step); "dots" keeps
-    # Dense outputs and recomputes only the attention internals; "full"
-    # recomputes everything (minimum memory)
-    p.add_argument("--remat", type=str, default="dots",
-                   choices=["none", "dots", "full"])
+    # flagship fits without remat -- the benched configuration); "dots"
+    # keeps Dense outputs and recomputes only the attention internals;
+    # "full" recomputes everything (minimum memory). "auto" = none with
+    # the O(T) pallas kernel, dots with the O(T^2) xla path (which would
+    # otherwise hold 20 layers of [B,H,T,T] softmax weights).
+    p.add_argument("--remat", type=str, default="auto",
+                   choices=["auto", "none", "dots", "full"])
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of training steps here")
     p.add_argument("--profile_start", type=int, default=5)

@@ -530,13 +530,21 @@ class LoaderGenerations:
             }
 
 
-# set in the parent right before the worker pool forks; children inherit it
-# by copy-on-write, so the (potentially large) Loader is never pickled
-_FORK_LOADER: Optional["Loader"] = None
+# set once per worker process by the pool initializer (spawn context: the
+# parent already initialized the JAX backend and is multi-threaded, so
+# fork() would risk deadlocks in the children -- spawn pays one pickle of
+# the Loader per worker instead; it holds feature dicts and the vocab, not
+# the song shards, so the payload is small)
+_WORKER_LOADER: Optional["Loader"] = None
+
+
+def _init_worker(loader: "Loader"):
+    global _WORKER_LOADER
+    _WORKER_LOADER = loader
 
 
 def _collect_in_worker(seed: int, indices: List[int]):
-    loader = _FORK_LOADER
+    loader = _WORKER_LOADER
     # per-task RNG (torch DataLoader-style per-worker seeding): redraws and
     # augmentation jitter differ per batch but are reproducible from the
     # parent's master seed
@@ -552,7 +560,7 @@ def epochs_multiprocess(
     seed: int = 0,
     prefetch_factor: int = 2,
 ):
-    """Endless batch stream materialized by ``num_workers`` forked worker
+    """Endless batch stream materialized by ``num_workers`` spawned worker
     processes -- the reference's DataLoader(num_workers=8) (train.py:87-93).
 
     The parent draws the epoch order (the same policy as :meth:`Loader.
@@ -569,10 +577,12 @@ def epochs_multiprocess(
     import multiprocessing as mp
     from collections import deque
 
-    global _FORK_LOADER
-    _FORK_LOADER = loader
-    ctx = mp.get_context("fork")
-    pool = ctx.Pool(num_workers)
+    # spawn, not fork: the trainer calls this after the JAX backend is
+    # initialized, and forking a multi-threaded process is a known
+    # deadlock pattern (CPython warns outright). Workers get the Loader
+    # via the pool initializer and never touch JAX.
+    ctx = mp.get_context("spawn")
+    pool = ctx.Pool(num_workers, initializer=_init_worker, initargs=(loader,))
     master = np.random.RandomState(seed + 7919)
 
     def tasks():

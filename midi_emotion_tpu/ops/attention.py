@@ -32,6 +32,17 @@ import jax
 import jax.numpy as jnp
 
 
+def resolve_attn_impl(impl: str) -> str:
+    """Resolve "auto" to the fastest implementation for the current
+    backend: the fused Pallas flash kernel on TPU (bit-tested against the
+    XLA path, tests/test_pallas_attention.py), the XLA closed form on CPU
+    (Mosaic kernels only interpret there). This makes the benched-fast
+    configuration the stock CLI default."""
+    if impl != "auto":
+        return impl
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
+
+
 def rel_position_bias(q: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
     """Closed-form Srel.
 
@@ -77,10 +88,12 @@ def relative_attention(
         regression model, music_regression.py:37,77).
       pad_keys: optional [B, L] boolean, True where the KEY position is pad
         (reference generate_mask semantics, music_multi.py:25-38).
-      impl: "xla" (this file) or "pallas" (fused flash kernel).
+      impl: "xla" (this file), "pallas" (fused flash kernel), or "auto"
+        (pallas on TPU, xla on CPU).
 
     Returns: [B, H, L, dh].
     """
+    impl = resolve_attn_impl(impl)
     if impl == "pallas":
         from . import pallas_attention
 

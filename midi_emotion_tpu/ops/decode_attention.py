@@ -176,7 +176,21 @@ def _pick_blocks(B: int, W: int, D2: int, itemsize: int):
     override = os.environ.get("DECODE_ATTN_BLOCKS")
     if override:
         bb, bw = (int(x) for x in override.split(","))
-        return min(bb, B), min(bw, W)
+        bb = min(bb, B)
+        # A partial tail W-block reads out of bounds and CRASHES the TPU
+        # worker outright (not just garbage data) -- refuse the config
+        # instead of letting the kernel take the device down.
+        if bw != W:
+            raise ValueError(
+                f"DECODE_ATTN_BLOCKS window block bw={bw} must equal the "
+                f"cache window W={W}: a partial tail block reads out of "
+                "bounds and hard-crashes the TPU worker"
+            )
+        if B % bb:
+            raise ValueError(
+                f"DECODE_ATTN_BLOCKS batch block bb={bb} must divide B={B}"
+            )
+        return bb, bw
     # bb=8 with full-width blocks measured best end-to-end (20.65k vs
     # 20.2k tok/s at B=64 over (16, 768)). bw MUST equal W: a partial tail
     # block reads out of bounds, which crashed the TPU worker outright
@@ -252,8 +266,17 @@ def expand_e_rows(e: jnp.ndarray, n: jnp.ndarray, W: int,
                   dtype=jnp.bfloat16) -> jnp.ndarray:
     """Relative rows for a query at position n-1: [W, dh] with
     out[w] = E[max_seq - n + w] (rows past the table are zero; they are
-    masked in the kernel anyway)."""
+    masked in the kernel anyway).
+
+    PRECONDITION: n <= max_seq. dynamic_slice clamps its start index
+    silently, so n > max_seq would read from start 0 -- WRONG relative
+    rows -- rather than erroring. The sampler's window sizing guarantees
+    the invariant (window <= max_seq, generation/sampler.py); the explicit
+    clamp below pins the behavior for any future caller to "distances
+    saturate at the table edge" (the mildest failure mode) instead of a
+    silent whole-table shift."""
     max_seq = e.shape[0]
+    n = jnp.minimum(n, max_seq)  # see precondition note above
     e_pad = jnp.pad(e, ((0, W), (0, 0)))
     rows = jax.lax.dynamic_slice_in_dim(e_pad, max_seq - n, W, 0)
     return rows.astype(dtype)

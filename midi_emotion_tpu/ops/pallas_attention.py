@@ -504,27 +504,12 @@ def _bwd_dkdv_kernel(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
-                    bq: Optional[int] = None, bk: Optional[int] = None):
-    bq = bq or BLOCK_Q
-    bk = bk or BLOCK_K
-    B, H, T, dh = q.shape
-    max_seq = e.shape[0]
-    qf, kf, vf, e_pad, pk, Tp, pad_t, pad3 = _prepare(
-        q, k, v, e, causal, pad_keys, bq, bk
-    )
-    hpb = _heads_per_block(H)
-    dof = pad3(g)
-    outf = pad3(out)
-    dsum = jnp.sum(
-        dof.astype(jnp.float32) * outf.astype(jnp.float32), axis=-1
-    )[:, :, None, :]  # [B, H, 1, Tp]
-
+def _bwd_dq_de_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk,
+                    hpb, Tp):
+    """Launch the dq/dE kernel. Split out so perf scripts can time it."""
+    B, H = qf.shape[0], qf.shape[1]
+    dh = qf.shape[-1]
     n_e_rows = e_pad.shape[0]
-    common = dict(
-        bq=bq, bk=bk, max_seq=max_seq + pad_t,
-        scale=1.0 / math.sqrt(dh), causal=causal,
-    )
     in_specs = [
         pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, iq, ik: (b, ih, iq, 0),
                      memory_space=pltpu.VMEM),  # q
@@ -546,7 +531,7 @@ def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
     dq, de_pad = pl.pallas_call(
         functools.partial(_bwd_dq_de_kernel, **common),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, Tp, dh), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, dh), qf.dtype),
             jax.ShapeDtypeStruct((n_e_rows, dh), jnp.float32),
         ),
         grid=(B, H // hpb, Tp // bq, Tp // bk),
@@ -563,8 +548,15 @@ def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(qf, kf, vf, dof, lse, dsum, e_pad, pk)
+    return dq, de_pad
 
-    # dK/dV kernel: iq innermost so per-k-block accumulation is legal
+
+def _bwd_dkdv_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk,
+                   hpb, Tp):
+    """Launch the dK/dV kernel: iq innermost so per-k-block accumulation
+    is legal."""
+    B, H = qf.shape[0], qf.shape[1]
+    dh = qf.shape[-1]
     in_specs_kv = [
         pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, ik, iq: (b, ih, iq, 0),
                      memory_space=pltpu.VMEM),  # q
@@ -585,8 +577,8 @@ def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, **common),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, Tp, dh), k.dtype),
-            jax.ShapeDtypeStruct((B, H, Tp, dh), v.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, dh), kf.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, dh), vf.dtype),
         ),
         grid=(B, H // hpb, Tp // bk, Tp // bq),
         in_specs=in_specs_kv,
@@ -604,6 +596,35 @@ def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(qf, kf, vf, dof, lse, dsum, e_pad, pk)
+    return dk, dv
+
+
+def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
+                    bq: Optional[int] = None, bk: Optional[int] = None):
+    bq = bq or BLOCK_Q
+    bk = bk or BLOCK_K
+    B, H, T, dh = q.shape
+    max_seq = e.shape[0]
+    qf, kf, vf, e_pad, pk, Tp, pad_t, pad3 = _prepare(
+        q, k, v, e, causal, pad_keys, bq, bk
+    )
+    hpb = _heads_per_block(H)
+    dof = pad3(g)
+    outf = pad3(out)
+    dsum = jnp.sum(
+        dof.astype(jnp.float32) * outf.astype(jnp.float32), axis=-1
+    )[:, :, None, :]  # [B, H, 1, Tp]
+
+    common = dict(
+        bq=bq, bk=bk, max_seq=max_seq + pad_t,
+        scale=1.0 / math.sqrt(dh), causal=causal,
+    )
+    dq, de_pad = _bwd_dq_de_call(
+        qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
+    )
+    dk, dv = _bwd_dkdv_call(
+        qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
+    )
 
     cut = lambda x, dt: x[:, :, :T, :].astype(dt)
     dq = cut(dq, q.dtype)

@@ -106,6 +106,16 @@ class Runner:
             f" compute dtype: {args.dtype}"
         )
 
+        from ..ops.attention import resolve_attn_impl
+
+        self.attn_impl = resolve_attn_impl(getattr(args, "attn_impl", "auto"))
+        remat_flag = getattr(args, "remat", "auto")
+        if remat_flag == "auto":
+            # the pallas flash path is O(T) memory -- the flagship fits
+            # without remat (fastest); the xla path materializes [B,H,T,T]
+            # per layer and needs the dots policy to fit at T=1216
+            remat_flag = "none" if self.attn_impl == "pallas" else "dots"
+
         self.restart_dir = args.restart_dir
         if self.restart_dir:
             self.cfg, params, _ = ckpt.load_model_dir(self.restart_dir)
@@ -117,7 +127,6 @@ class Runner:
                 self.logging(f"Dropout rate changed to {args.dropout}")
             self.csv_in = os.path.join(self.restart_dir, "performance.csv")
         else:
-            remat_flag = getattr(args, "remat", "dots")
             self.cfg = ModelConfig(
                 vocab_size=len(self.vocab),
                 mode="regression" if args.regression else args.conditioning,
@@ -135,7 +144,7 @@ class Runner:
             params = None
             self.csv_in = None
 
-        self.model = MusicTransformer(self.cfg, dtype=dtype, attn_impl=args.attn_impl)
+        self.model = MusicTransformer(self.cfg, dtype=dtype, attn_impl=self.attn_impl)
         if params is None:
             params = init_params(self.model, jax.random.PRNGKey(max(args.seed, 0)))
         self.params = mesh_lib.shard_params(params, self.mesh)

@@ -2,6 +2,8 @@
 bit-exact bf16 path (ops/attention.py:decode_rel_attention), plus the
 int8 sampler end to end. Runs in interpreter mode on CPU."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -294,3 +296,23 @@ def test_int8_decode_logits_match_exact():
     scale = np.abs(le).max()
     assert np.abs(lq - le).max() / scale < 0.05, np.abs(lq - le).max() / scale
     assert int(cq["length"]) == T + 1
+
+
+def test_blocks_override_rejects_partial_tail():
+    """A DECODE_ATTN_BLOCKS override with bw != W must be refused before
+    kernel launch: a partial tail block reads out of bounds and crashes
+    the TPU worker outright (VERDICT r2 weak #5)."""
+    from midi_emotion_tpu.ops.decode_attention import _pick_blocks
+
+    os.environ["DECODE_ATTN_BLOCKS"] = "8,768"
+    try:
+        with pytest.raises(ValueError, match="bw=768 must equal"):
+            _pick_blocks(64, 1408, 1536, 1)
+        os.environ["DECODE_ATTN_BLOCKS"] = "7,1408"
+        with pytest.raises(ValueError, match="must divide"):
+            _pick_blocks(64, 1408, 1536, 1)
+        # a valid override passes through
+        os.environ["DECODE_ATTN_BLOCKS"] = "8,1408"
+        assert _pick_blocks(64, 1408, 1536, 1) == (8, 1408)
+    finally:
+        del os.environ["DECODE_ATTN_BLOCKS"]

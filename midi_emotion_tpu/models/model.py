@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import decode_rel_attention, relative_attention
+from ..ops.layernorm import FusedLayerNorm
 from .config import ModelConfig
 from .positional import sinusoid_table
 
@@ -176,8 +177,11 @@ class EncoderLayer(nn.Module):
         )
         self.ffn_pre = nn.Dense(self.d_inner, dtype=self.dtype, name="FFN_pre")
         self.ffn_suf = nn.Dense(self.d_model, dtype=self.dtype, name="FFN_suf")
-        self.ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="layernorm1")
-        self.ln2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="layernorm2")
+        # fused Pallas kernel on TPU (XLA's LayerNorm backward splits into
+        # ~40 slow [B*T, D] -> [D] reduction fusions at the flagship shape);
+        # same "scale"/"bias" param tree as nn.LayerNorm
+        self.ln1 = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, name="layernorm1")
+        self.ln2 = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, name="layernorm2")
         self.drop1 = nn.Dropout(self.dropout)
         self.drop2 = nn.Dropout(self.dropout)
 

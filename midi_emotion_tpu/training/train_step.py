@@ -48,6 +48,19 @@ def make_optimizer(clip: float) -> optax.GradientTransformation:
     return optax.chain(*steps)
 
 
+def _fast_dropout_key(key):
+    """Re-wrap a threefry key as an "rbg" key: dropout mask generation then
+    lowers to the TPU hardware RngBitGenerator instead of threefry2x32
+    VPU code -- profiled at ~33 ms/step of xor/bitcast fusions for the
+    flagship's 40 [B, T, 768] masks (scripts/profile_step.py). The
+    Bernoulli(rate) semantics are unchanged; only the pseudorandom stream
+    differs, which dropout does not contract on."""
+    data = jax.random.key_data(key)  # [2] uint32
+    return jax.random.wrap_key_data(
+        jnp.concatenate([data, data]), impl="rbg"
+    )
+
+
 def make_loss_fn(model: MusicTransformer) -> Callable:
     cfg = model.config
 
@@ -89,7 +102,7 @@ def make_train_step(
         def micro(carry, mb):
             grads_acc, loss_acc, rng = carry
             rng, sub = jax.random.split(rng)
-            (loss, _n), grads = grad_fn(params, mb, sub)
+            (loss, _n), grads = grad_fn(params, mb, _fast_dropout_key(sub))
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             return (grads_acc, loss_acc + loss, rng), None
 

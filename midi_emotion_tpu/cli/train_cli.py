@@ -79,11 +79,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--mesh_model", type=int, default=1,
                    help="tensor-parallel mesh size")
+    p.add_argument("--mesh_seq", type=int, default=1,
+                   help="sequence-parallel mesh size (ring attention; "
+                        "use with --attn_impl ring for T beyond one chip)")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
     # "auto" = the benched-fast config out of the box: the fused Pallas
-    # flash kernel on TPU (bit-tested vs xla), the XLA closed form on CPU
+    # flash kernel on TPU (bit-tested vs xla), the XLA closed form on CPU.
+    # "ring" shards the sequence over the --mesh_seq axis
+    # (parallel/ring_attention.py) -- the long-context path past the
+    # reference's 2048 cap; pair with --max_seq >= --tgt_len.
     p.add_argument("--attn_impl", type=str, default="auto",
-                   choices=["auto", "xla", "pallas"])
+                   choices=["auto", "xla", "pallas", "ring"])
+    # the reference hard-codes 2048 (build_model.py:22); here the E and
+    # positional tables are sized by this flag, so long-context training
+    # (ring attention) just asks for a bigger table
+    p.add_argument("--max_seq", type=int, default=2048)
     # activation rematerialization in the bwd pass: "none" is the fastest
     # when activations fit (the Pallas flash path is O(T) memory, so the
     # flagship fits without remat -- the benched configuration); "dots"

@@ -88,8 +88,11 @@ def relative_attention(
         regression model, music_regression.py:37,77).
       pad_keys: optional [B, L] boolean, True where the KEY position is pad
         (reference generate_mask semantics, music_multi.py:25-38).
-      impl: "xla" (this file), "pallas" (fused flash kernel), or "auto"
-        (pallas on TPU, xla on CPU).
+      impl: "xla" (this file), "pallas" (fused flash kernel), "ring"
+        (sequence-sharded over the ambient mesh's "seq" axis --
+        parallel/ring_attention.py; requires jax.sharding.set_mesh or a
+        mesh context at trace time), or "auto" (pallas on TPU, xla on
+        CPU).
 
     Returns: [B, H, L, dh].
     """
@@ -100,6 +103,10 @@ def relative_attention(
         return pallas_attention.flash_relative_attention(
             q, k, v, e, causal, pad_keys
         )
+    if impl == "ring":
+        from ..parallel.ring_attention import ring_global_attention
+
+        return ring_global_attention(q, k, v, e, causal, pad_keys)
 
     L = q.shape[2]
     dh = q.shape[-1]

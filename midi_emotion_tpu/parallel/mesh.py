@@ -39,13 +39,18 @@ def initialize_distributed(
         pass  # already initialized or single-process
 
 
-def host_local_batch_to_global(batch: dict, mesh: Mesh):
+def host_local_batch_to_global(batch: dict, mesh: Mesh, leading_accum: bool = False):
     """Multi-host input path: each host feeds its local shard
     (jax.make_array_from_process_local_data assembles the global array).
-    Single-process meshes fall through to shard_batch."""
+    Single-process meshes fall through to shard_batch. With
+    ``leading_accum`` the arrays carry a leading [accumulate_steps]
+    microbatch axis (train_step.py) and the batch dim is axis 1.
+    Exercised for real by tests/test_distributed.py (2 local processes,
+    localhost coordinator, 4 virtual CPU devices each)."""
     if jax.process_count() == 1:
-        return shard_batch(batch, mesh)
-    sh = batch_sharding(mesh)
+        return shard_batch(batch, mesh, leading_accum=leading_accum)
+    spec = P(None, "data") if leading_accum else P("data")
+    sh = NamedSharding(mesh, spec)
     return {
         k: jax.make_array_from_process_local_data(sh, v) for k, v in batch.items()
     }
@@ -55,12 +60,22 @@ def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices: Optional[Sequence] = None,
+    n_seq: int = 1,
 ) -> Mesh:
+    """("data", "model") mesh, gaining a trailing "seq" axis when
+    ``n_seq > 1`` (sequence-parallel ring attention,
+    parallel/ring_attention.py). Innermost axes map to the
+    closest-neighbor ICI links in the device order, which is where the
+    ring's ppermute and TP's all-reduces want to live."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
-    grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+        n_data = len(devices) // (n_model * n_seq)
+    used = n_data * n_model * n_seq
+    assert used <= len(devices), (n_data, n_model, n_seq, len(devices))
+    if n_seq > 1:
+        grid = np.array(devices[:used]).reshape(n_data, n_model, n_seq)
+        return Mesh(grid, ("data", "model", "seq"))
+    grid = np.array(devices[:used]).reshape(n_data, n_model)
     return Mesh(grid, ("data", "model"))
 
 

@@ -144,6 +144,49 @@ def ring_relative_attention(
     return (o_acc / safe).astype(q.dtype)
 
 
+def ring_global_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    e: jnp.ndarray,
+    causal: bool = True,
+    pad_keys: Optional[jnp.ndarray] = None,
+    mesh=None,
+    seq_axis: str = "seq",
+    batch_axis: str = "data",
+):
+    """Ring attention on GLOBAL [B, H, T, dh] arrays, callable from inside
+    a jitted model (models/model.py dispatches here for attn_impl="ring").
+
+    The sequence dim is sharded over ``mesh[seq_axis]`` and the batch dim
+    over ``mesh[batch_axis]`` (other mesh axes replicated); each
+    (data, seq) shard runs the shard-local ring body, with K/V chunks
+    ppermuted around the seq axis. With ``mesh=None`` the ambient mesh is
+    used -- enter ``jax.sharding.set_mesh(mesh)`` (or pass the concrete
+    mesh) before tracing. T must divide by the seq-axis size; B by the
+    batch-axis size. This is what breaks the reference's max_seq=2048
+    context cap (build_model.py:22): the E/positional tables are sized by
+    the config, and per-chip score work and KV residency are O(T/n).
+    """
+    if pad_keys is None:
+        pad_keys = jnp.zeros((q.shape[0], q.shape[2]), bool)
+    qkv_spec = P(batch_axis, None, seq_axis, None)
+
+    def _local(q_, k_, v_, e_, pad_):
+        return ring_relative_attention(
+            q_, k_, v_, e_, seq_axis, causal=causal, pad_keys=pad_
+        )
+
+    f = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, P(), P(batch_axis, seq_axis)),
+        out_specs=qkv_spec,
+        check_vma=False,
+    )
+    return f(q, k, v, e, pad_keys)
+
+
 def make_ring_attention(mesh, axis: str = "data", causal: bool = True):
     """Wrap ring_relative_attention in shard_map over `mesh[axis]`.
 

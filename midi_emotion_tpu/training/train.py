@@ -94,7 +94,8 @@ class Runner:
 
         # ---- mesh + model -------------------------------------------------
         self.mesh = mesh_lib.make_mesh(
-            n_data=args.mesh_data, n_model=args.mesh_model
+            n_data=args.mesh_data, n_model=args.mesh_model,
+            n_seq=getattr(args, "mesh_seq", 1),
         )
         assert args.batch_size % self.mesh.shape["data"] == 0, (
             f"--batch_size {args.batch_size} must be divisible by the data "
@@ -103,12 +104,28 @@ class Runner:
         dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
         self.logging(
             f"Mesh: data={self.mesh.shape['data']} model={self.mesh.shape['model']}"
-            f" compute dtype: {args.dtype}"
+            f" seq={self.mesh.shape.get('seq', 1)} compute dtype: {args.dtype}"
         )
 
         from ..ops.attention import resolve_attn_impl
 
         self.attn_impl = resolve_attn_impl(getattr(args, "attn_impl", "auto"))
+        self._ambient_mesh = None
+        if self.attn_impl == "ring":
+            assert "seq" in self.mesh.axis_names, (
+                "attn_impl=ring needs a sequence mesh axis: set --mesh_seq > 1"
+            )
+            # model-internal T == tgt_len in every conditioning mode (the
+            # continuous_token loader shortens input_len by the 2-slot
+            # prefix the model re-adds)
+            assert args.tgt_len % self.mesh.shape["seq"] == 0, (
+                f"--tgt_len {args.tgt_len} must be divisible by the seq "
+                f"mesh axis ({self.mesh.shape['seq']})"
+            )
+            # ambient mesh for the shard_map inside the model
+            # (parallel/ring_attention.ring_global_attention); activates on
+            # construction, kept so callers/tests can __exit__ it
+            self._ambient_mesh = jax.sharding.set_mesh(self.mesh)
         remat_flag = getattr(args, "remat", "auto")
         if remat_flag == "auto":
             # the pallas flash path is O(T) memory -- the flagship fits
@@ -136,7 +153,7 @@ class Runner:
                 d_inner=args.d_inner,
                 d_condition=args.d_condition,
                 dropout=args.dropout,
-                max_seq=2048,
+                max_seq=max(getattr(args, "max_seq", 2048), args.tgt_len),
                 pad_id=self.vocab.pad_id,
                 remat=remat_flag != "none",
                 remat_policy=remat_flag if remat_flag != "none" else "dots",
@@ -146,7 +163,13 @@ class Runner:
 
         self.model = MusicTransformer(self.cfg, dtype=dtype, attn_impl=self.attn_impl)
         if params is None:
-            params = init_params(self.model, jax.random.PRNGKey(max(args.seed, 0)))
+            # ring models init through the xla-impl module: identical param
+            # tree, and the tiny init batch need not divide the seq mesh axis
+            init_model = (
+                MusicTransformer(self.cfg, dtype=dtype, attn_impl="xla")
+                if self.attn_impl == "ring" else self.model
+            )
+            params = init_params(init_model, jax.random.PRNGKey(max(args.seed, 0)))
         self.params = mesh_lib.shard_params(params, self.mesh)
 
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

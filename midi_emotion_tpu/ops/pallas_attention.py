@@ -52,11 +52,40 @@ BLOCK_K = 256
 # (needs VMEM_LIMIT below; sweep: hpb=16 beat 8 and 1 at the flagship
 # shape, 411 -> 338 ms/step). Capped to H and rounded down to a divisor.
 HEADS_PER_BLOCK = 16
+# Batch rows per grid step, same rationale one level up: with all H heads
+# in one step the grid is still B * (T/bq) * (T/bk) microsecond-scale
+# steps; batching bpb batch rows divides the step count (and its fixed
+# per-step overhead) again. Swept PER KERNEL at the flagship shape: a
+# uniform bpb=2 is a net LOSS (266 vs 249 ms/step) -- the doubled f32
+# band + unskew temporaries push the dq/dE kernel past the 64 MB scoped
+# budget and degrade DMA/compute overlap more than the halved step count
+# saves. Per-kernel sweep (scripts/perf_bpb_sweep.py, ms/layer incl. the
+# timed chain's fwd): fwd 3.29 -> 3.16 at bpb=2, dkdv 6.29 -> 6.08, dqde
+# 7.64 -> 8.46 (worse; its band + unskew temps double), bpb=4 exceeds
+# VMEM everywhere. Defaults = the winners; env knobs for re-sweeps
+# (MIDI_EMOTION_BPB_FWD / _DQDE / _DKDV).
+import os as _os_bpb
+
+BATCH_PER_BLOCK = {
+    "fwd": int(_os_bpb.environ.get("MIDI_EMOTION_BPB_FWD", "2")),
+    "dqde": int(_os_bpb.environ.get("MIDI_EMOTION_BPB_DQDE", "1")),
+    "dkdv": int(_os_bpb.environ.get("MIDI_EMOTION_BPB_DKDV", "2")),
+    # the combined dK/dV+dq kernel adds a [n, Tp, dh] f32 scratch and a
+    # [bpb, hpb, Tp, dh] out block; bpb=2 overflows the 80 MB scoped
+    # budget there, so it gets its own knob
+    "dkdvdq": int(_os_bpb.environ.get("MIDI_EMOTION_BPB_DKDVDQ", "1")),
+}
 
 # Mosaic's default scoped-VMEM budget is 16 MB; v5e has 128 MB of physical
 # VMEM, and the head-batched blocks (band + roll temps + f32 score tiles)
 # legitimately need more. 64 MB leaves plenty for double-buffered DMA.
 VMEM_LIMIT = 64 * 1024 * 1024
+# The dq/dE backward at bpb=2 x hpb=16 holds the band AND its unskew
+# temporary (2 x [32, 256, 512] f32 = 33.6 MB) plus the score/ds tiles --
+# measured 64.96 MB of scoped stack, just past the shared budget. Its
+# block inputs are ~5 MB total, so an 80 MB scoped budget still leaves
+# >40 MB for double-buffered DMA on the 128 MB part.
+VMEM_LIMIT_BWD = 80 * 1024 * 1024
 
 # Trace-time ablation knob for perf experiments (scripts/perf_attn_kernels):
 #   "full"   -- correct Srel (band matmul + skew rolls)
@@ -72,6 +101,27 @@ SREL_MODE = "full"
 import os as _os
 
 SKEW_IMPL = _os.environ.get("MIDI_EMOTION_SKEW", "strided")
+
+# dq/dE backward kernel:
+#   "column" -- key-column formulation with the 2*log2(bq)-pass static
+#               unskew adjoint (default)
+#   "dist"   -- distance-domain formulation: no unskew at all (three
+#               +1-strided rolls; see _bwd_dq_de_dist_kernel). MEASURED AT
+#               PARITY with "column" on v5e (7.48 vs 7.52 ms incl. fwd,
+#               scripts/perf_bwd_breakdown.py): the extra L-wide exp, two
+#               rolls, and three extra MXU dots cost exactly what the
+#               unskew passes saved. Kept as the documented negative
+#               result + the only path that avoids the adjoint shear.
+DQDE_IMPL = _os.environ.get("MIDI_EMOTION_DQDE", "column")
+
+# Backward decomposition:
+#   "split" -- dq_qk rides the dK/dV sweep (one extra MXU dot against a
+#              persistent scratch) and dE + dq_rel come from the
+#              distance-domain kernel; NO unskew adjoint and NO second
+#              softmax recompute anywhere (see _bwd_dkdv_dq_kernel)
+#   "fused" -- the r2 two-kernel layout: dq/dE fused (with the
+#              2*log2(bq)-pass static unskew), dK/dV separate
+BWD_IMPL = _os.environ.get("MIDI_EMOTION_BWD", "split")
 
 
 def _dot(a, b, dims):
@@ -149,19 +199,26 @@ def _unskew_band(dsrel: jnp.ndarray, bq: int, bk: int) -> jnp.ndarray:
     return x
 
 
+def _pad_mask_rows(pad_ref, koff, bk, bpb, hpb):
+    """[bpb, 1, Tp] pad block -> [bpb*hpb, 1, bk] bool (per-batch pad rows
+    repeated per head to line up with the merged (bpb*hpb) batch axis)."""
+    pads = pad_ref[:, 0, pl.ds(koff, bk)] != 0  # [bpb, bk]
+    return jnp.repeat(pads, hpb, axis=0)[:, None, :]
+
+
 def _flash_kernel(
-    q_ref,  # [1, hpb, bq, dh]
-    k_ref,  # [1, hpb, bk, dh]
-    v_ref,  # [1, hpb, bk, dh]
+    q_ref,  # [bpb, hpb, bq, dh]
+    k_ref,  # [bpb, hpb, bk, dh]
+    v_ref,  # [bpb, hpb, bk, dh]
     e_ref,  # [max_seq + bk, dh] (zero-padded tail)
-    pad_ref,  # [1, 1, Tp] int32 -- 1 where key is pad (full row per batch)
-    o_ref,  # [1, hpb, bq, dh]
-    lse_ref,  # [1, hpb, 1, Tp] f32 -- per-row logsumexp (for backward;
+    pad_ref,  # [bpb, 1, Tp] int32 -- 1 where key is pad (full row per batch)
+    o_ref,  # [bpb, hpb, bq, dh]
+    lse_ref,  # [bpb, hpb, 1, Tp] f32 -- per-row logsumexp (for backward;
               # the extra unit dim keeps the block's last-two dims (1, Tp),
               # legal for ANY hpb -- (hpb, Tp) needs hpb % 8 == 0)
-    m_scr,  # [hpb, bq, 1] f32
-    l_scr,  # [hpb, bq, 1] f32
-    acc_scr,  # [hpb, bq, dh] f32
+    m_scr,  # [bpb*hpb, bq, 1] f32
+    l_scr,  # [bpb*hpb, bq, 1] f32
+    acc_scr,  # [bpb*hpb, bq, dh] f32
     *,
     bq: int,
     bk: int,
@@ -171,7 +228,8 @@ def _flash_kernel(
 ):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
-    hpb = q_ref.shape[1]
+    bpb, hpb, _, dh = q_ref.shape
+    n = bpb * hpb
 
     @pl.when(ik == 0)
     def _init():
@@ -185,11 +243,11 @@ def _flash_kernel(
 
     @pl.when(visible)
     def _compute():
-        q = q_ref[0]  # [hpb, bq, dh], model dtype (bf16 inputs stay bf16)
-        k = k_ref[0]  # [hpb, bk, dh]
-        v = v_ref[0]
+        q = q_ref[:].reshape(n, bq, dh)  # model dtype (bf16 stays bf16)
+        k = k_ref[:].reshape(n, bk, dh)
+        v = v_ref[:].reshape(n, bk, dh)
 
-        s = _bdot(q, k, ((2,), (2,)))  # [hpb, bq, bk] f32
+        s = _bdot(q, k, ((2,), (2,)))  # [n, bq, bk] f32
 
         a = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 1) + iq * bq
         b = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 2) + ik * bk
@@ -214,17 +272,17 @@ def _flash_kernel(
         s = s * scale
 
         koff = pl.multiple_of(ik * bk, bk)
-        masked = pad_ref[0, 0, pl.ds(koff, bk)][None, None, :] != 0
+        masked = _pad_mask_rows(pad_ref, koff, bk, bpb, hpb)
         if causal:
             masked = masked | (b > a)
         s = jnp.where(masked, NEG_INF, s)
 
         # online softmax
-        m_prev = m_scr[:]  # [hpb, bq, 1]
+        m_prev = m_scr[:]  # [n, bq, 1]
         m_cur = jnp.max(s, axis=2, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # [hpb, bq, bk]
-        alpha = jnp.exp(m_prev - m_new)  # [hpb, bq, 1]
+        p = jnp.exp(s - m_new)  # [n, bq, bk]
+        alpha = jnp.exp(m_prev - m_new)  # [n, bq, 1]
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
         # p in the input dtype for the MXU; acc stays f32
         acc_scr[:] = acc_scr[:] * alpha + _bdot(
@@ -240,13 +298,17 @@ def _flash_kernel(
         # fully-masked rows (all keys pad) -> reference softmax yields NaN;
         # we output 0 instead (those rows are pad positions, loss-masked)
         safe = jnp.where(denom > 0.0, denom, 1.0)
-        o_ref[0] = (acc_scr[:] / safe).astype(o_ref.dtype)
+        o_ref[:] = (acc_scr[:] / safe).astype(o_ref.dtype).reshape(
+            bpb, hpb, bq, dh
+        )
         # lse = m + log(l); empty rows get +BIG so the backward's
         # exp(s - lse) recomputation yields exactly 0 for them
         lse = jnp.where(
             denom > 0.0, m_scr[:] + jnp.log(safe), jnp.float32(1e30)
         )
-        lse_ref[0, :, 0, pl.ds(iq * bq, bq)] = lse[:, :, 0]
+        lse_ref[:, :, 0, pl.ds(iq * bq, bq)] = lse[:, :, 0].reshape(
+            bpb, hpb, bq
+        )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -303,9 +365,17 @@ def _heads_per_block(H: int) -> int:
     return hpb
 
 
+def _batch_per_block(B: int, kind: str = "fwd") -> int:
+    bpb = min(BATCH_PER_BLOCK[kind], B)
+    while B % bpb:
+        bpb -= 1
+    return bpb
+
+
 def _flash_fwd_impl(
     q, k, v, e, causal, pad_keys, bq: Optional[int] = None,
     bk: Optional[int] = None, return_lse: bool = False,
+    return_saved: bool = False,
 ):
     """q,k,v: [B,H,T,dh]; e: [max_seq, dh]; pad_keys: [B,T] bool or None."""
     bq = bq or BLOCK_Q
@@ -316,17 +386,18 @@ def _flash_fwd_impl(
         q, k, v, e, causal, pad_keys, bq, bk
     )
     hpb = _heads_per_block(H)
+    bpb = _batch_per_block(B, "fwd")
 
-    grid = (B, H // hpb, Tp // bq, Tp // bk)
+    grid = (B // bpb, H // hpb, Tp // bq, Tp // bk)
     common_in_specs = [
-        pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, iq, ik: (b, ih, iq, 0),
+        pl.BlockSpec((bpb, hpb, bq, dh), lambda b, ih, iq, ik: (b, ih, iq, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hpb, bk, dh), lambda b, ih, iq, ik: (b, ih, ik, 0),
+        pl.BlockSpec((bpb, hpb, bk, dh), lambda b, ih, iq, ik: (b, ih, ik, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hpb, bk, dh), lambda b, ih, iq, ik: (b, ih, ik, 0),
+        pl.BlockSpec((bpb, hpb, bk, dh), lambda b, ih, iq, ik: (b, ih, ik, 0),
                      memory_space=pltpu.VMEM),
     ]
-    pad_spec = pl.BlockSpec((1, 1, Tp), lambda b, ih, iq, ik: (b, 0, 0),
+    pad_spec = pl.BlockSpec((bpb, 1, Tp), lambda b, ih, iq, ik: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _flash_kernel, bq=bq, bk=bk,
@@ -347,16 +418,17 @@ def _flash_fwd_impl(
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, iq, ik: (b, ih, iq, 0),
+            pl.BlockSpec((bpb, hpb, bq, dh),
+                         lambda b, ih, iq, ik: (b, ih, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hpb, 1, Tp),
+            pl.BlockSpec((bpb, hpb, 1, Tp),
                          lambda b, ih, iq, ik: (b, ih, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((hpb, bq, 1), jnp.float32),
-            pltpu.VMEM((hpb, bq, 1), jnp.float32),
-            pltpu.VMEM((hpb, bq, dh), jnp.float32),
+            pltpu.VMEM((bpb * hpb, bq, 1), jnp.float32),
+            pltpu.VMEM((bpb * hpb, bq, 1), jnp.float32),
+            pltpu.VMEM((bpb * hpb, bq, dh), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * Tp * Tp * (2 * dh + bq + bk)
@@ -366,7 +438,14 @@ def _flash_fwd_impl(
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(*operands)
+    outf = out
     out = out[:, :, :T, :] if pad_t else out
+    if return_saved:
+        # padded operands + padded output become the custom-vjp residuals,
+        # so the backward never re-pads q/k/v/out (4 x ~10 MB copies per
+        # layer at the flagship shape); the ~5% padded tails cost only
+        # activation memory
+        return out, lse, (qf, kf, vf, pk, outf)
     if return_lse:
         return out, lse
     return out
@@ -377,13 +456,13 @@ def _flash_fwd_impl(
 # ---------------------------------------------------------------------------
 
 
-def _recompute_block(q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq,
+def _recompute_block(q, k, e_ref, lse_row, pad_mask, iq, ik, bq, bk, max_seq,
                      scale, causal):
     """Recompute P and the (a, b) index grids for one block pair.
 
-    q: [hpb, bq, dh]; k: [hpb, bk, dh]; lse_row: [hpb, bq, 1];
-    pad_row: [bk]."""
-    s = _bdot(q, k, ((2,), (2,)))  # [hpb, bq, bk]
+    q: [n, bq, dh]; k: [n, bk, dh]; lse_row: [n, bq, 1];
+    pad_mask: bool, broadcastable to [n, bq, bk]."""
+    s = _bdot(q, k, ((2,), (2,)))  # [n, bq, bk]
     start = max_seq - iq * bq + ik * bk - bq
     e_slice = e_ref[pl.ds(start, bq + bk), :].astype(q.dtype)
     band = _dot(q, e_slice, ((2,), (1,)))
@@ -394,11 +473,11 @@ def _recompute_block(q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq,
     b = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 2) + ik * bk
     srel = jnp.where(b <= a, srel, 0.0)
     s = (s + srel) * scale
-    masked = pad_row[None, None, :] != 0
+    masked = pad_mask
     if causal:
         masked = masked | (b > a)
     s = jnp.where(masked, NEG_INF, s)
-    p = jnp.exp(s - lse_row)  # [hpb, bq, bk]; exactly 0 on masked rows
+    p = jnp.exp(s - lse_row)  # [n, bq, bk]; exactly 0 on masked rows
     return p, e_slice, a, b, start
 
 
@@ -424,36 +503,39 @@ def _bwd_dq_de_kernel(
 
     @pl.when(visible)
     def _():
-        q = q_ref[0]  # [hpb, bq, dh]
-        k = k_ref[0]
-        v = v_ref[0]
-        do = do_ref[0]
-        lse_row = lse_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
-        d_row = dsum_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
-        pad_row = pad_ref[0, 0, pl.ds(ik * bk, bk)]
+        bpb, hpb, _, dh = q_ref.shape
+        n = bpb * hpb
+        q = q_ref[:].reshape(n, bq, dh)
+        k = k_ref[:].reshape(n, bk, dh)
+        v = v_ref[:].reshape(n, bk, dh)
+        do = do_ref[:].reshape(n, bq, dh)
+        lse_row = lse_ref[:, :, 0, pl.ds(iq * bq, bq)].reshape(n, bq, 1)
+        d_row = dsum_ref[:, :, 0, pl.ds(iq * bq, bq)].reshape(n, bq, 1)
+        pad_mask = _pad_mask_rows(pad_ref, ik * bk, bk, bpb, hpb)
         p, e_slice, a, b, start = _recompute_block(
-            q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq, scale,
+            q, k, e_ref, lse_row, pad_mask, iq, ik, bq, bk, max_seq, scale,
             causal,
         )
         dp = _bdot(do, v, ((2,), (2,)))
-        ds_f32 = p * (dp - d_row) * scale  # [hpb, bq, bk]
+        ds_f32 = p * (dp - d_row) * scale  # [n, bq, bk]
         ds = ds_f32.astype(q.dtype)
         dq_scr[:] += _bdot(ds, k, ((2,), (1,)))
         # the unskew runs in the input dtype (static slice+concat rolls)
         dsrel = jnp.where(b <= a, ds, jnp.zeros((), ds.dtype))
-        dband = _unskew_band(dsrel, bq, bk)  # [hpb, bq, bq+bk]
+        dband = _unskew_band(dsrel, bq, bk)  # [n, bq, bq+bk]
         dq_scr[:] += _dot(dband, e_slice, ((2,), (0,)))
         de_blk = jax.lax.dot_general(
             dband, q, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [hpb, bq+bk, dh]
+        )  # [n, bq+bk, dh]
         de_scr[pl.ds(start, bq + bk), :] += jnp.sum(de_blk, axis=0)
 
     last = (iq * bq + bq - 1) // bk if causal else pl.num_programs(3) - 1
 
     @pl.when(ik == last)
     def _():
-        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+        bpb, hpb, _, dh = q_ref.shape
+        dq_ref[:] = dq_scr[:].astype(dq_ref.dtype).reshape(bpb, hpb, bq, dh)
 
     @pl.when(
         (ib == pl.num_programs(0) - 1)
@@ -463,6 +545,354 @@ def _bwd_dq_de_kernel(
     )
     def _():
         de_ref[:] = de_scr[:]
+
+
+def _bwd_dq_de_dist_kernel(
+    q_ref, k_ref, kr_ref, v_ref, vr_ref, do_ref, lse_ref, dsum_ref,
+    e_ref, er_ref, pad_ref, padr_ref,
+    dq_ref, der_ref, dq_scr, der_scr,
+    *, bq, bk, max_seq, scale, causal, nk, F,
+):
+    """dq + dE with NO unskew: the distance-domain formulation.
+
+    The adjoint of the skew is a negative-per-row-stride shear that Mosaic
+    cannot lower (scripts/probe_mosaic_ops.py: rev, negative-stride roll,
+    and lane gather all fail), and the static decomposition costs
+    2*log2(bq) VPU passes over the [bq, bq+bk] band -- measured at
+    ~1.6 ms/layer of the 4.2 ms dq/dE tier (scripts/perf_bwd_breakdown).
+
+    Key identity: index score entries by DISTANCE d = i - j instead of by
+    key column. With the key block COLUMN-REVERSED (kr/vr, flipped along
+    time in XLA), the within-block coordinate c = a + b' satisfies
+    d = c + doff, so in the [bq, bq+bk] distance layout
+
+      * the relative bias is COLUMN-PURE: srel_d[a, c] = q[a] . E[ms-1-d(c)]
+        = (q @ E_rev_slice)[a, c] -- a plain matmul, NO skew;
+      * scores and dP enter via ONE +1-strided roll each
+        (qkd[a, c] = qk'[a, c-a], the lowerable direction);
+      * dq_rel = dsd @ E_rev_slice and dE_rev[c] += sum_a dsd[a, c] q[a]
+        are plain contractions over the distance axis.
+
+    dq_qk = ds @ k still needs ds in the key-column layout, which the
+    normal branch recomputes exactly as the forward does (one +1-strided
+    skew). Net: three +1 rolls total, zero adjoint shears.
+    """
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
+    iq = pl.program_id(2)
+    ikr = pl.program_id(3)
+    ik = nk - 1 - ikr
+    hpb = q_ref.shape[1]
+    L = bq + bk
+
+    @pl.when(ikr == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when((ib == 0) & (ih == 0) & (iq == 0) & (ikr == 0))
+    def _():
+        der_scr[:] = jnp.zeros_like(der_scr)
+
+    visible = (ik * bk <= iq * bq + bq - 1) if causal else (ikr >= 0)
+
+    @pl.when(visible)
+    def _():
+        q = q_ref[0]  # [hpb, bq, dh]
+        k = k_ref[0]
+        v = v_ref[0]
+        kr = kr_ref[0]
+        vr = vr_ref[0]
+        do = do_ref[0]
+        lse_row = lse_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
+        d_row = dsum_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
+        pad_mask = (pad_ref[0, 0, pl.ds(ik * bk, bk)] != 0)[None, None, :]
+        padr_row = padr_ref[0, 0, pl.ds(ikr * bk, bk)]
+
+        # ---- normal branch: ds in key-column layout -> dq_qk ----------
+        p, _, _, _, _ = _recompute_block(
+            q, k, e_ref, lse_row, pad_mask, iq, ik, bq, bk, max_seq, scale,
+            causal,
+        )
+        dp = _bdot(do, v, ((2,), (2,)))
+        ds = (p * (dp - d_row) * scale).astype(q.dtype)
+        dq_scr[:] += _bdot(ds, k, ((2,), (1,)))
+
+        # ---- distance branch: dsd -> dq_rel + dE ----------------------
+        doff = iq * bq - (nk - ikr) * bk + 1  # d(c) = c + doff
+        qkp = _bdot(q, kr, ((2,), (2,)))  # [hpb, bq, bk] f32
+        qkp = jnp.where(padr_row[None, None, :] != 0, NEG_INF, qkp)
+        qkp = jnp.concatenate(
+            [qkp, jnp.full((hpb, bq, bq), NEG_INF, jnp.float32)], axis=-1
+        )
+        # roll row a right by a: qkd[a, c] = qk'[a, c - a]; the wrapped
+        # region lands on the NEG_INF padding, so p_d vanishes there
+        qkd = pltpu.roll(qkp, 0, 2, stride=1, stride_axis=1)
+        er_slice = er_ref[pl.ds(F + doff, L), :].astype(q.dtype)
+        band_rev = _dot(q, er_slice, ((2,), (1,)))  # [hpb, bq, L] f32
+        dist = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2) + doff
+        srel_d = jnp.where(dist >= 0, band_rev, 0.0)  # qe-mask: d<0 -> 0
+        s_d = (qkd + srel_d) * scale
+        if causal:
+            s_d = jnp.where(dist < 0, NEG_INF, s_d)
+        p_d = jnp.exp(s_d - lse_row)  # [hpb, bq, L]
+        dpp = _bdot(do, vr, ((2,), (2,)))  # [hpb, bq, bk]
+        dpp = jnp.concatenate(
+            [dpp, jnp.zeros((hpb, bq, bq), jnp.float32)], axis=-1
+        )
+        dpd = pltpu.roll(dpp, 0, 2, stride=1, stride_axis=1)
+        dsd = (p_d * (dpd - d_row) * scale).astype(q.dtype)
+        dq_scr[:] += _dot(dsd, er_slice, ((2,), (0,)))
+        de_blk = jax.lax.dot_general(
+            dsd, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [hpb, L, dh]
+        der_scr[pl.ds(F + doff, L), :] += jnp.sum(de_blk, axis=0)
+
+    @pl.when(ikr == nk - 1)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+    @pl.when(
+        (ib == pl.num_programs(0) - 1)
+        & (ih == pl.num_programs(1) - 1)
+        & (iq == pl.num_programs(2) - 1)
+        & (ikr == pl.num_programs(3) - 1)
+    )
+    def _():
+        der_ref[:] = der_scr[:]
+
+
+def _bwd_dq_de_dist_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common,
+                         bq, bk, hpb, Tp):
+    """Launch the distance-domain dq/dE kernel (see its docstring)."""
+    B, H = qf.shape[0], qf.shape[1]
+    dh = qf.shape[-1]
+    nk = Tp // bk
+    m_eff = common["max_seq"]  # front-padded table height
+    F = Tp  # front zeros of the reversed table: covers doff >= 1 - Tp
+    e_eff = e_pad[:m_eff]
+    er_pad = jnp.concatenate(
+        [
+            jnp.zeros((F, dh), jnp.float32),
+            e_eff[::-1],
+            jnp.zeros((bq + bk, dh), jnp.float32),
+        ],
+        axis=0,
+    )  # row F + d holds E_eff[m_eff - 1 - d]
+    n_rev = er_pad.shape[0]
+    kr = jnp.flip(kf, axis=2)
+    vr = jnp.flip(vf, axis=2)
+    padr = jnp.flip(pk, axis=-1)
+
+    qspec = pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, iq, ikr: (b, ih, iq, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec(
+        (1, hpb, bk, dh),
+        lambda b, ih, iq, ikr: (b, ih, nk - 1 - ikr, 0),
+        memory_space=pltpu.VMEM,
+    )
+    krspec = pl.BlockSpec((1, hpb, bk, dh),
+                          lambda b, ih, iq, ikr: (b, ih, ikr, 0),
+                          memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, hpb, 1, Tp), lambda b, ih, iq, ikr: (b, ih, 0, 0),
+                           memory_space=pltpu.VMEM)
+    padspec = pl.BlockSpec((1, 1, Tp), lambda b, ih, iq, ikr: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        qspec,  # q
+        kspec,  # k (normal order via reversed index map)
+        krspec,  # k reversed
+        kspec,  # v
+        krspec,  # v reversed
+        qspec,  # do
+        rowspec,  # lse
+        rowspec,  # dsum
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # e_pad
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # er_pad
+        padspec,  # pad rows
+        padspec,  # pad rows reversed
+    ]
+    dq, der = pl.pallas_call(
+        functools.partial(_bwd_dq_de_dist_kernel, **common, nk=nk, F=F),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tp, dh), qf.dtype),
+            jax.ShapeDtypeStruct((n_rev, dh), jnp.float32),
+        ),
+        grid=(B, H // hpb, Tp // bq, nk),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, hpb, bq, dh),
+                         lambda b, ih, iq, ikr: (b, ih, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hpb, bq, dh), jnp.float32),
+            pltpu.VMEM((n_rev, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+    )(qf, kf, kr, vf, vr, dof, lse, dsum, e_pad, er_pad, pk, padr)
+    # distance rows back to table rows: row r of the (front-padded) table
+    # is distance d = m_eff - 1 - r at er row F + d
+    de_pad = jnp.flip(der[F : F + m_eff], axis=0)
+    return dq, de_pad
+
+
+def _bwd_dkdv_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, e_ref, pad_ref,
+    dk_ref, dv_ref, dqk_ref, dk_scr, dv_scr, dq_scr,
+    *, bq, bk, max_seq, scale, causal,
+):
+    """dK/dV **plus the dq_qk term** in one sweep (the "split" backward).
+
+    The key observation behind the split: this kernel already recomputes
+    P and ds for every visible block pair, so ``dq_qk[a] += ds @ k`` is
+    one extra MXU dot (~0.4 us/block) against a persistent [n, Tp, dh]
+    f32 scratch -- vs the fused dq/dE kernel paying a FULL second
+    softmax recompute (2 dots + skew + exp) just to have ds in q-row
+    layout. The relative-position terms (dq_rel, dE) then come from the
+    distance-domain kernel (_bwd_de_dqrel_kernel), which needs no unskew
+    adjoint at all. Net: the 2*log2(bq)-pass static unskew AND one of the
+    two softmax recomputes vanish from the backward."""
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when((ik == 0) & (iq == 0))
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    visible = (iq * bq + bq - 1 >= ik * bk) if causal else (iq >= 0)
+
+    @pl.when(visible)
+    def _():
+        bpb, hpb, _, dh = q_ref.shape
+        n = bpb * hpb
+        q = q_ref[:].reshape(n, bq, dh)
+        k = k_ref[:].reshape(n, bk, dh)
+        v = v_ref[:].reshape(n, bk, dh)
+        do = do_ref[:].reshape(n, bq, dh)
+        lse_row = lse_ref[:, :, 0, pl.ds(iq * bq, bq)].reshape(n, bq, 1)
+        d_row = dsum_ref[:, :, 0, pl.ds(iq * bq, bq)].reshape(n, bq, 1)
+        pad_mask = _pad_mask_rows(pad_ref, ik * bk, bk, bpb, hpb)
+        p, _, a, b, _ = _recompute_block(
+            q, k, e_ref, lse_row, pad_mask, iq, ik, bq, bk, max_seq, scale,
+            causal,
+        )
+        dv_scr[:] += _bdot(p.astype(do.dtype), do, ((1,), (1,)))
+        dp = _bdot(do, v, ((2,), (2,)))
+        ds = ((p * (dp - d_row)) * scale).astype(q.dtype)
+        dk_scr[:] += _bdot(ds, q, ((1,), (1,)))
+        dq_scr[:, pl.ds(iq * bq, bq), :] += _bdot(ds, k, ((2,), (1,)))
+
+    @pl.when(iq == pl.num_programs(3) - 1)
+    def _():
+        bpb, hpb, _, dh = q_ref.shape
+        dk_ref[:] = dk_scr[:].astype(dk_ref.dtype).reshape(bpb, hpb, bk, dh)
+        dv_ref[:] = dv_scr[:].astype(dv_ref.dtype).reshape(bpb, hpb, bk, dh)
+
+    @pl.when(
+        (ik == pl.num_programs(2) - 1) & (iq == pl.num_programs(3) - 1)
+    )
+    def _():
+        bpb, hpb, _, dh = q_ref.shape
+        Tp = dq_scr.shape[1]
+        dqk_ref[:] = dq_scr[:].astype(dqk_ref.dtype).reshape(
+            bpb, hpb, Tp, dh
+        )
+
+
+def _bwd_de_dqrel_kernel(
+    q_ref, kr_ref, vr_ref, do_ref, lse_ref, dsum_ref, er_ref, padr_ref,
+    dqr_ref, der_ref, dq_scr, der_scr,
+    *, bq, bk, max_seq, scale, causal, nk, F,
+):
+    """dE + dq_rel with NO unskew and NO second softmax recompute: the
+    distance-domain half of the split backward (see _bwd_dkdv_dq_kernel).
+
+    Identical math to _bwd_dq_de_dist_kernel's distance branch (see its
+    docstring for the column-reversed / +1-stride derivation), minus that
+    kernel's normal branch -- dq_qk now lives in the dK/dV sweep. The
+    explicit dist>=0 mask on dsd is required here for the NON-causal
+    (regression) model: P is nonzero above the diagonal there, but the
+    reference's qe-masking still zeroes the relative bias, so its adjoint
+    must zero those entries too (the fused kernel got this from masking
+    dsrel; causal grids get it for free from the NEG_INF)."""
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
+    iq = pl.program_id(2)
+    ikr = pl.program_id(3)
+    ik = nk - 1 - ikr
+    hpb = q_ref.shape[1]
+    L = bq + bk
+
+    @pl.when(ikr == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when((ib == 0) & (ih == 0) & (iq == 0) & (ikr == 0))
+    def _():
+        der_scr[:] = jnp.zeros_like(der_scr)
+
+    visible = (ik * bk <= iq * bq + bq - 1) if causal else (ikr >= 0)
+
+    @pl.when(visible)
+    def _():
+        q = q_ref[0]  # [hpb, bq, dh]
+        kr = kr_ref[0]
+        vr = vr_ref[0]
+        do = do_ref[0]
+        lse_row = lse_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
+        d_row = dsum_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
+        padr_row = padr_ref[0, 0, pl.ds(ikr * bk, bk)]
+
+        doff = iq * bq - (nk - ikr) * bk + 1  # d(c) = c + doff
+        qkp = _bdot(q, kr, ((2,), (2,)))  # [hpb, bq, bk] f32
+        qkp = jnp.where(padr_row[None, None, :] != 0, NEG_INF, qkp)
+        qkp = jnp.concatenate(
+            [qkp, jnp.full((hpb, bq, bq), NEG_INF, jnp.float32)], axis=-1
+        )
+        # roll row a right by a: qkd[a, c] = qk'[a, c - a]; the wrapped
+        # region lands on the NEG_INF padding, so p_d vanishes there
+        qkd = pltpu.roll(qkp, 0, 2, stride=1, stride_axis=1)
+        er_slice = er_ref[pl.ds(F + doff, L), :].astype(q.dtype)
+        band_rev = _dot(q, er_slice, ((2,), (1,)))  # [hpb, bq, L] f32
+        dist = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2) + doff
+        srel_d = jnp.where(dist >= 0, band_rev, 0.0)  # qe-mask: d<0 -> 0
+        s_d = (qkd + srel_d) * scale
+        if causal:
+            s_d = jnp.where(dist < 0, NEG_INF, s_d)
+        p_d = jnp.exp(s_d - lse_row)  # [hpb, bq, L]
+        dpp = _bdot(do, vr, ((2,), (2,)))  # [hpb, bq, bk]
+        dpp = jnp.concatenate(
+            [dpp, jnp.zeros((hpb, bq, bq), jnp.float32)], axis=-1
+        )
+        dpd = pltpu.roll(dpp, 0, 2, stride=1, stride_axis=1)
+        dsd = p_d * (dpd - d_row) * scale
+        dsd = jnp.where(dist >= 0, dsd, 0.0).astype(q.dtype)  # qe adjoint
+        dq_scr[:] += _dot(dsd, er_slice, ((2,), (0,)))
+        de_blk = jax.lax.dot_general(
+            dsd, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [hpb, L, dh]
+        der_scr[pl.ds(F + doff, L), :] += jnp.sum(de_blk, axis=0)
+
+    @pl.when(ikr == nk - 1)
+    def _():
+        dqr_ref[0] = dq_scr[:].astype(dqr_ref.dtype)
+
+    @pl.when(
+        (ib == pl.num_programs(0) - 1)
+        & (ih == pl.num_programs(1) - 1)
+        & (iq == pl.num_programs(2) - 1)
+        & (ikr == pl.num_programs(3) - 1)
+    )
+    def _():
+        der_ref[:] = der_scr[:]
 
 
 def _bwd_dkdv_kernel(
@@ -482,15 +912,17 @@ def _bwd_dkdv_kernel(
 
     @pl.when(visible)
     def _():
-        q = q_ref[0]  # [hpb, bq, dh]
-        k = k_ref[0]
-        v = v_ref[0]
-        do = do_ref[0]
-        lse_row = lse_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
-        d_row = dsum_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
-        pad_row = pad_ref[0, 0, pl.ds(ik * bk, bk)]
+        bpb, hpb, _, dh = q_ref.shape
+        n = bpb * hpb
+        q = q_ref[:].reshape(n, bq, dh)
+        k = k_ref[:].reshape(n, bk, dh)
+        v = v_ref[:].reshape(n, bk, dh)
+        do = do_ref[:].reshape(n, bq, dh)
+        lse_row = lse_ref[:, :, 0, pl.ds(iq * bq, bq)].reshape(n, bq, 1)
+        d_row = dsum_ref[:, :, 0, pl.ds(iq * bq, bq)].reshape(n, bq, 1)
+        pad_mask = _pad_mask_rows(pad_ref, ik * bk, bk, bpb, hpb)
         p, _, a, b, _ = _recompute_block(
-            q, k, e_ref, lse_row, pad_row, iq, ik, bq, bk, max_seq, scale,
+            q, k, e_ref, lse_row, pad_mask, iq, ik, bq, bk, max_seq, scale,
             causal,
         )
         dv_scr[:] += _bdot(p.astype(do.dtype), do, ((1,), (1,)))
@@ -500,8 +932,9 @@ def _bwd_dkdv_kernel(
 
     @pl.when(iq == pl.num_programs(3) - 1)
     def _():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+        bpb, hpb, _, dh = q_ref.shape
+        dk_ref[:] = dk_scr[:].astype(dk_ref.dtype).reshape(bpb, hpb, bk, dh)
+        dv_ref[:] = dv_scr[:].astype(dv_ref.dtype).reshape(bpb, hpb, bk, dh)
 
 
 def _bwd_dq_de_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk,
@@ -510,21 +943,22 @@ def _bwd_dq_de_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk,
     B, H = qf.shape[0], qf.shape[1]
     dh = qf.shape[-1]
     n_e_rows = e_pad.shape[0]
+    bpb = _batch_per_block(B, "dqde")
     in_specs = [
-        pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, iq, ik: (b, ih, iq, 0),
+        pl.BlockSpec((bpb, hpb, bq, dh), lambda b, ih, iq, ik: (b, ih, iq, 0),
                      memory_space=pltpu.VMEM),  # q
-        pl.BlockSpec((1, hpb, bk, dh), lambda b, ih, iq, ik: (b, ih, ik, 0),
+        pl.BlockSpec((bpb, hpb, bk, dh), lambda b, ih, iq, ik: (b, ih, ik, 0),
                      memory_space=pltpu.VMEM),  # k
-        pl.BlockSpec((1, hpb, bk, dh), lambda b, ih, iq, ik: (b, ih, ik, 0),
+        pl.BlockSpec((bpb, hpb, bk, dh), lambda b, ih, iq, ik: (b, ih, ik, 0),
                      memory_space=pltpu.VMEM),  # v
-        pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, iq, ik: (b, ih, iq, 0),
+        pl.BlockSpec((bpb, hpb, bq, dh), lambda b, ih, iq, ik: (b, ih, iq, 0),
                      memory_space=pltpu.VMEM),  # do
-        pl.BlockSpec((1, hpb, 1, Tp), lambda b, ih, iq, ik: (b, ih, 0, 0),
+        pl.BlockSpec((bpb, hpb, 1, Tp), lambda b, ih, iq, ik: (b, ih, 0, 0),
                      memory_space=pltpu.VMEM),  # lse
-        pl.BlockSpec((1, hpb, 1, Tp), lambda b, ih, iq, ik: (b, ih, 0, 0),
+        pl.BlockSpec((bpb, hpb, 1, Tp), lambda b, ih, iq, ik: (b, ih, 0, 0),
                      memory_space=pltpu.VMEM),  # dsum
         pl.BlockSpec(memory_space=pltpu.VMEM),  # e_pad
-        pl.BlockSpec((1, 1, Tp), lambda b, ih, iq, ik: (b, 0, 0),
+        pl.BlockSpec((bpb, 1, Tp), lambda b, ih, iq, ik: (b, 0, 0),
                      memory_space=pltpu.VMEM),  # pad rows
     ]
 
@@ -534,19 +968,19 @@ def _bwd_dq_de_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk,
             jax.ShapeDtypeStruct((B, H, Tp, dh), qf.dtype),
             jax.ShapeDtypeStruct((n_e_rows, dh), jnp.float32),
         ),
-        grid=(B, H // hpb, Tp // bq, Tp // bk),
+        grid=(B // bpb, H // hpb, Tp // bq, Tp // bk),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, hpb, bq, dh),
+            pl.BlockSpec((bpb, hpb, bq, dh),
                          lambda b, ih, iq, ik: (b, ih, iq, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((hpb, bq, dh), jnp.float32),
+            pltpu.VMEM((bpb * hpb, bq, dh), jnp.float32),
             pltpu.VMEM((n_e_rows, dh), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BWD),
     )(qf, kf, vf, dof, lse, dsum, e_pad, pk)
     return dq, de_pad
 
@@ -557,21 +991,22 @@ def _bwd_dkdv_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk,
     is legal."""
     B, H = qf.shape[0], qf.shape[1]
     dh = qf.shape[-1]
+    bpb = _batch_per_block(B, "dkdv")
     in_specs_kv = [
-        pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, ik, iq: (b, ih, iq, 0),
+        pl.BlockSpec((bpb, hpb, bq, dh), lambda b, ih, ik, iq: (b, ih, iq, 0),
                      memory_space=pltpu.VMEM),  # q
-        pl.BlockSpec((1, hpb, bk, dh), lambda b, ih, ik, iq: (b, ih, ik, 0),
+        pl.BlockSpec((bpb, hpb, bk, dh), lambda b, ih, ik, iq: (b, ih, ik, 0),
                      memory_space=pltpu.VMEM),  # k
-        pl.BlockSpec((1, hpb, bk, dh), lambda b, ih, ik, iq: (b, ih, ik, 0),
+        pl.BlockSpec((bpb, hpb, bk, dh), lambda b, ih, ik, iq: (b, ih, ik, 0),
                      memory_space=pltpu.VMEM),  # v
-        pl.BlockSpec((1, hpb, bq, dh), lambda b, ih, ik, iq: (b, ih, iq, 0),
+        pl.BlockSpec((bpb, hpb, bq, dh), lambda b, ih, ik, iq: (b, ih, iq, 0),
                      memory_space=pltpu.VMEM),  # do
-        pl.BlockSpec((1, hpb, 1, Tp), lambda b, ih, ik, iq: (b, ih, 0, 0),
+        pl.BlockSpec((bpb, hpb, 1, Tp), lambda b, ih, ik, iq: (b, ih, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hpb, 1, Tp), lambda b, ih, ik, iq: (b, ih, 0, 0),
+        pl.BlockSpec((bpb, hpb, 1, Tp), lambda b, ih, ik, iq: (b, ih, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Tp), lambda b, ih, ik, iq: (b, 0, 0),
+        pl.BlockSpec((bpb, 1, Tp), lambda b, ih, ik, iq: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     dk, dv = pl.pallas_call(
@@ -580,37 +1015,176 @@ def _bwd_dkdv_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk,
             jax.ShapeDtypeStruct((B, H, Tp, dh), kf.dtype),
             jax.ShapeDtypeStruct((B, H, Tp, dh), vf.dtype),
         ),
-        grid=(B, H // hpb, Tp // bk, Tp // bq),
+        grid=(B // bpb, H // hpb, Tp // bk, Tp // bq),
         in_specs=in_specs_kv,
         out_specs=(
-            pl.BlockSpec((1, hpb, bk, dh),
+            pl.BlockSpec((bpb, hpb, bk, dh),
                          lambda b, ih, ik, iq: (b, ih, ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hpb, bk, dh),
+            pl.BlockSpec((bpb, hpb, bk, dh),
                          lambda b, ih, ik, iq: (b, ih, ik, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((hpb, bk, dh), jnp.float32),
-            pltpu.VMEM((hpb, bk, dh), jnp.float32),
+            pltpu.VMEM((bpb * hpb, bk, dh), jnp.float32),
+            pltpu.VMEM((bpb * hpb, bk, dh), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BWD),
     )(qf, kf, vf, dof, lse, dsum, e_pad, pk)
     return dk, dv
 
 
+def _bwd_dkdv_dq_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk,
+                      hpb, Tp):
+    """Launch the combined dK/dV + dq_qk kernel (split backward)."""
+    B, H = qf.shape[0], qf.shape[1]
+    dh = qf.shape[-1]
+    bpb = _batch_per_block(B, "dkdvdq")
+    in_specs_kv = [
+        pl.BlockSpec((bpb, hpb, bq, dh), lambda b, ih, ik, iq: (b, ih, iq, 0),
+                     memory_space=pltpu.VMEM),  # q
+        pl.BlockSpec((bpb, hpb, bk, dh), lambda b, ih, ik, iq: (b, ih, ik, 0),
+                     memory_space=pltpu.VMEM),  # k
+        pl.BlockSpec((bpb, hpb, bk, dh), lambda b, ih, ik, iq: (b, ih, ik, 0),
+                     memory_space=pltpu.VMEM),  # v
+        pl.BlockSpec((bpb, hpb, bq, dh), lambda b, ih, ik, iq: (b, ih, iq, 0),
+                     memory_space=pltpu.VMEM),  # do
+        pl.BlockSpec((bpb, hpb, 1, Tp), lambda b, ih, ik, iq: (b, ih, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bpb, hpb, 1, Tp), lambda b, ih, ik, iq: (b, ih, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((bpb, 1, Tp), lambda b, ih, ik, iq: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dk, dv, dqk = pl.pallas_call(
+        functools.partial(_bwd_dkdv_dq_kernel, **common),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tp, dh), kf.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, dh), vf.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, dh), qf.dtype),
+        ),
+        grid=(B // bpb, H // hpb, Tp // bk, Tp // bq),
+        in_specs=in_specs_kv,
+        out_specs=(
+            pl.BlockSpec((bpb, hpb, bk, dh),
+                         lambda b, ih, ik, iq: (b, ih, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bpb, hpb, bk, dh),
+                         lambda b, ih, ik, iq: (b, ih, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bpb, hpb, Tp, dh),
+                         lambda b, ih, ik, iq: (b, ih, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bpb * hpb, bk, dh), jnp.float32),
+            pltpu.VMEM((bpb * hpb, bk, dh), jnp.float32),
+            pltpu.VMEM((bpb * hpb, Tp, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BWD),
+    )(qf, kf, vf, dof, lse, dsum, e_pad, pk)
+    return dk, dv, dqk
+
+
+def _bwd_de_dqrel_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common,
+                       bq, bk, hpb, Tp):
+    """Launch the distance-domain dE + dq_rel kernel (split backward).
+    Shares the reversed-table/-K/-V prep with _bwd_dq_de_dist_call."""
+    B, H = qf.shape[0], qf.shape[1]
+    dh = qf.shape[-1]
+    nk = Tp // bk
+    m_eff = common["max_seq"]
+    F = Tp
+    e_eff = e_pad[:m_eff]
+    er_pad = jnp.concatenate(
+        [
+            jnp.zeros((F, dh), jnp.float32),
+            e_eff[::-1],
+            jnp.zeros((bq + bk, dh), jnp.float32),
+        ],
+        axis=0,
+    )  # row F + d holds E_eff[m_eff - 1 - d]
+    n_rev = er_pad.shape[0]
+    kr = jnp.flip(kf, axis=2)
+    vr = jnp.flip(vf, axis=2)
+    padr = jnp.flip(pk, axis=-1)
+
+    qspec = pl.BlockSpec((1, hpb, bq, dh),
+                         lambda b, ih, iq, ikr: (b, ih, iq, 0),
+                         memory_space=pltpu.VMEM)
+    krspec = pl.BlockSpec((1, hpb, bk, dh),
+                          lambda b, ih, iq, ikr: (b, ih, ikr, 0),
+                          memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, hpb, 1, Tp),
+                           lambda b, ih, iq, ikr: (b, ih, 0, 0),
+                           memory_space=pltpu.VMEM)
+    padspec = pl.BlockSpec((1, 1, Tp), lambda b, ih, iq, ikr: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dqr, der = pl.pallas_call(
+        functools.partial(_bwd_de_dqrel_kernel, **common, nk=nk, F=F),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tp, dh), qf.dtype),
+            jax.ShapeDtypeStruct((n_rev, dh), jnp.float32),
+        ),
+        grid=(B, H // hpb, Tp // bq, nk),
+        in_specs=[
+            qspec,    # q
+            krspec,   # k reversed
+            krspec,   # v reversed
+            qspec,    # do
+            rowspec,  # lse
+            rowspec,  # dsum
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # er_pad
+            padspec,  # pad rows reversed
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hpb, bq, dh),
+                         lambda b, ih, iq, ikr: (b, ih, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hpb, bq, dh), jnp.float32),
+            pltpu.VMEM((n_rev, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BWD),
+    )(qf, kr, vr, dof, lse, dsum, er_pad, padr)
+    # distance rows back to table rows (see _bwd_dq_de_dist_call)
+    de_pad = jnp.flip(der[F : F + m_eff], axis=0)
+    return dqr, de_pad
+
+
 def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
                     bq: Optional[int] = None, bk: Optional[int] = None):
+    """Backward from UNPADDED operands (perf scripts / ad-hoc callers).
+    The custom-vjp path uses _flash_bwd_from_saved with the forward's
+    already-padded residuals instead."""
     bq = bq or BLOCK_Q
     bk = bk or BLOCK_K
-    B, H, T, dh = q.shape
-    max_seq = e.shape[0]
     qf, kf, vf, e_pad, pk, Tp, pad_t, pad3 = _prepare(
         q, k, v, e, causal, pad_keys, bq, bk
     )
+    return _flash_bwd_from_saved(
+        qf, kf, vf, pk, pad3(out), e, causal, lse, g, q.shape[2], bq, bk
+    )
+
+
+def _flash_bwd_from_saved(qf, kf, vf, pk, outf, e, causal, lse, g, T,
+                          bq: Optional[int] = None,
+                          bk: Optional[int] = None):
+    """Backward from the forward's PADDED residuals: only the incoming
+    cotangent still needs the T -> Tp pad."""
+    bq = bq or BLOCK_Q
+    bk = bk or BLOCK_K
+    B, H, Tp, dh = qf.shape
+    pad_t = Tp - T
+    max_seq = e.shape[0]
+    e_pad = jnp.pad(e.astype(jnp.float32), ((pad_t, 0), (0, 0)))
+    tail = Tp if not causal else bq + bk
+    e_pad = jnp.pad(e_pad, ((0, tail), (0, 0)))
     hpb = _heads_per_block(H)
-    dof = pad3(g)
-    outf = pad3(out)
+    dof = jnp.pad(g, ((0, 0), (0, 0), (0, pad_t), (0, 0))) if pad_t else g
     dsum = jnp.sum(
         dof.astype(jnp.float32) * outf.astype(jnp.float32), axis=-1
     )[:, :, None, :]  # [B, H, 1, Tp]
@@ -619,17 +1193,31 @@ def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
         bq=bq, bk=bk, max_seq=max_seq + pad_t,
         scale=1.0 / math.sqrt(dh), causal=causal,
     )
-    dq, de_pad = _bwd_dq_de_call(
-        qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
-    )
-    dk, dv = _bwd_dkdv_call(
-        qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
-    )
+    if BWD_IMPL == "split":
+        dk, dv, dqk = _bwd_dkdv_dq_call(
+            qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
+        )
+        dqr, de_pad = _bwd_de_dqrel_call(
+            qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
+        )
+        # the two dq halves sum in f32 before the output cast
+        dq = (dqk.astype(jnp.float32) + dqr.astype(jnp.float32)).astype(
+            qf.dtype
+        )
+    else:
+        dq_de = (_bwd_dq_de_dist_call if DQDE_IMPL == "dist"
+                 else _bwd_dq_de_call)
+        dq, de_pad = dq_de(
+            qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
+        )
+        dk, dv = _bwd_dkdv_call(
+            qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
+        )
 
     cut = lambda x, dt: x[:, :, :T, :].astype(dt)
-    dq = cut(dq, q.dtype)
-    dk = cut(dk, k.dtype)
-    dv = cut(dv, v.dtype)
+    dq = cut(dq, qf.dtype)
+    dk = cut(dk, kf.dtype)
+    dv = cut(dv, vf.dtype)
     # de: drop the front (pad_t) and tail padding rows
     de = de_pad[pad_t : pad_t + max_seq].astype(e.dtype)
     return dq, dk, dv, de
@@ -665,23 +1253,29 @@ def _xla_reference(q, k, v, e, causal, pad_keys):
 
 
 def _fwd(q, k, v, e, causal, pad_keys):
-    out, lse = _flash_fwd_impl(q, k, v, e, causal, pad_keys, return_lse=True)
-    return out, (q, k, v, e, pad_keys, out, lse)
+    out, lse, saved = _flash_fwd_impl(
+        q, k, v, e, causal, pad_keys, return_lse=True, return_saved=True
+    )
+    qf, kf, vf, pk, outf = saved
+    return out, (qf, kf, vf, pk, outf, e, lse, q.shape[2])
 
 
 def _bwd(causal, residuals, g):
-    q, k, v, e, pad_keys, out, lse = residuals
+    qf, kf, vf, pk, outf, e, lse, T = residuals
     import os
 
     if os.environ.get("MIDI_EMOTION_FLASH_BWD", "pallas") == "xla":
+        # debug path: recover the unpadded operands from the residuals
+        q, k, v = (x[:, :, :T, :] for x in (qf, kf, vf))
+        pad_keys = pk[:, 0, :T].astype(bool)
         _, vjp = jax.vjp(
             lambda q_, k_, v_, e_: _xla_reference(q_, k_, v_, e_, causal, pad_keys),
             q, k, v, e,
         )
         dq, dk, dv, de = vjp(g)
     else:
-        dq, dk, dv, de = _flash_bwd_impl(
-            q, k, v, e, causal, pad_keys, out, lse, g
+        dq, dk, dv, de = _flash_bwd_from_saved(
+            qf, kf, vf, pk, outf, e, causal, lse, g, T
         )
     return dq, dk, dv, de, None
 

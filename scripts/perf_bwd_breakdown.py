@@ -47,13 +47,24 @@ def build(which):
         if which == "fwd":
             return out.astype(jnp.float32).sum()
         if which == "dqde":
-            dq, de = pa._bwd_dq_de_call(
+            call = (pa._bwd_dq_de_dist_call if pa.DQDE_IMPL == "dist"
+                    else pa._bwd_dq_de_call)
+            dq, de = call(
                 qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp)
             return dq.astype(jnp.float32).sum() + de.sum()
         if which == "dkdv":
             dk, dv = pa._bwd_dkdv_call(
                 qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp)
             return dk.astype(jnp.float32).sum() + dv.astype(jnp.float32).sum()
+        if which == "dkdvdq":
+            dk, dv, dqk = pa._bwd_dkdv_dq_call(
+                qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp)
+            return (dk.astype(jnp.float32).sum() + dv.astype(jnp.float32).sum()
+                    + dqk.astype(jnp.float32).sum())
+        if which == "dedqrel":
+            dqr, de = pa._bwd_de_dqrel_call(
+                qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp)
+            return dqr.astype(jnp.float32).sum() + de.sum()
         raise ValueError(which)
 
     def chain(q, k, v, e, g):
@@ -85,12 +96,22 @@ def unskew_padonly(dsrel, bq, bk):
          jnp.zeros(lead + (bq, 1), dsrel.dtype)], axis=-1)
 
 
+# appended: A/B the dq/dE implementations (set via module flag)
+def ab_compare():
+    for impl in ("legacy", "dist"):
+        pa.DQDE_IMPL = impl
+        ms = timed(build("dqde"))
+        print(json.dumps({"kernel": f"dqde[{impl}]",
+                          "ms_per_layer": round(ms, 3)}), flush=True)
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend(), flush=True)
     for which in ("fwd", "dkdv", "dqde"):
         ms = timed(build(which))
         print(json.dumps({"kernel": which, "ms_per_layer": round(ms, 3)}),
               flush=True)
+    ab_compare()
     real = pa._unskew_band
     pa._unskew_band = unskew_padonly
     try:

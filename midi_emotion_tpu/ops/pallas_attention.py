@@ -207,6 +207,7 @@ def _pad_mask_rows(pad_ref, koff, bk, bpb, hpb):
 
 
 def _flash_kernel(
+    smap_ref,  # scalar-prefetch [4, V] int32: iq, ik, row-start, row-end
     q_ref,  # [bpb, hpb, bq, dh]
     k_ref,  # [bpb, hpb, bk, dh]
     v_ref,  # [bpb, hpb, bk, dh]
@@ -226,73 +227,68 @@ def _flash_kernel(
     scale: float,
     causal: bool,
 ):
-    iq = pl.program_id(2)
-    ik = pl.program_id(3)
+    t = pl.program_id(2)
+    iq = smap_ref[0, t]
+    ik = smap_ref[1, t]
     bpb, hpb, _, dh = q_ref.shape
     n = bpb * hpb
 
-    @pl.when(ik == 0)
+    @pl.when(smap_ref[2, t] == 1)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # block pair visible iff any key position can be <= some query position
-    # (compare POSITIONS, not block indices -- bq and bk may differ)
-    visible = (ik * bk <= iq * bq + bq - 1) if causal else (ik >= 0)
+    # every enumerated block pair is visible (_grid_maps skips the fully
+    # masked ones), so the body runs unconditionally
+    q = q_ref[:].reshape(n, bq, dh)  # model dtype (bf16 stays bf16)
+    k = k_ref[:].reshape(n, bk, dh)
+    v = v_ref[:].reshape(n, bk, dh)
 
-    @pl.when(visible)
-    def _compute():
-        q = q_ref[:].reshape(n, bq, dh)  # model dtype (bf16 stays bf16)
-        k = k_ref[:].reshape(n, bk, dh)
-        v = v_ref[:].reshape(n, bk, dh)
+    s = _bdot(q, k, ((2,), (2,)))  # [n, bq, bk] f32
 
-        s = _bdot(q, k, ((2,), (2,)))  # [n, bq, bk] f32
+    a = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 1) + iq * bq
+    b = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 2) + ik * bk
+    if SREL_MODE != "off":
+        # relative bias: contiguous E slice for this block-pair's
+        # distances; the skew runs in the input dtype (bf16 halves its
+        # VMEM traffic)
+        start = max_seq - iq * bq + ik * bk - bq
+        e_slice = e_ref[pl.ds(start, bq + bk), :].astype(q.dtype)
+        band = _dot(q, e_slice, ((2,), (1,)))
+        if SKEW_IMPL != "strided":
+            band = band.astype(q.dtype)  # halves static-roll traffic
+        if SREL_MODE == "full":
+            srel = _skew_band(band, bq, bk).astype(jnp.float32)
+        else:  # "noskew" ablation: wrong numerics, no rolls
+            srel = band[..., :bk].astype(jnp.float32)
+        # zero above the diagonal (j > i), matching the reference
+        # exactly -- this matters for the unmasked regression model
+        srel = jnp.where(b <= a, srel, 0.0)
+        s = s + srel
 
-        a = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 1) + iq * bq
-        b = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 2) + ik * bk
-        if SREL_MODE != "off":
-            # relative bias: contiguous E slice for this block-pair's
-            # distances; the skew runs in the input dtype (bf16 halves its
-            # VMEM traffic)
-            start = max_seq - iq * bq + ik * bk - bq
-            e_slice = e_ref[pl.ds(start, bq + bk), :].astype(q.dtype)
-            band = _dot(q, e_slice, ((2,), (1,)))
-            if SKEW_IMPL != "strided":
-                band = band.astype(q.dtype)  # halves static-roll traffic
-            if SREL_MODE == "full":
-                srel = _skew_band(band, bq, bk).astype(jnp.float32)
-            else:  # "noskew" ablation: wrong numerics, no rolls
-                srel = band[..., :bk].astype(jnp.float32)
-            # zero above the diagonal (j > i), matching the reference
-            # exactly -- this matters for the unmasked regression model
-            srel = jnp.where(b <= a, srel, 0.0)
-            s = s + srel
+    s = s * scale
 
-        s = s * scale
+    koff = pl.multiple_of(ik * bk, bk)
+    masked = _pad_mask_rows(pad_ref, koff, bk, bpb, hpb)
+    if causal:
+        masked = masked | (b > a)
+    s = jnp.where(masked, NEG_INF, s)
 
-        koff = pl.multiple_of(ik * bk, bk)
-        masked = _pad_mask_rows(pad_ref, koff, bk, bpb, hpb)
-        if causal:
-            masked = masked | (b > a)
-        s = jnp.where(masked, NEG_INF, s)
+    # online softmax
+    m_prev = m_scr[:]  # [n, bq, 1]
+    m_cur = jnp.max(s, axis=2, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)  # [n, bq, bk]
+    alpha = jnp.exp(m_prev - m_new)  # [n, bq, 1]
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
+    # p in the input dtype for the MXU; acc stays f32
+    acc_scr[:] = acc_scr[:] * alpha + _bdot(
+        p.astype(v.dtype), v, ((2,), (1,))
+    )
+    m_scr[:] = m_new
 
-        # online softmax
-        m_prev = m_scr[:]  # [n, bq, 1]
-        m_cur = jnp.max(s, axis=2, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # [n, bq, bk]
-        alpha = jnp.exp(m_prev - m_new)  # [n, bq, 1]
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
-        # p in the input dtype for the MXU; acc stays f32
-        acc_scr[:] = acc_scr[:] * alpha + _bdot(
-            p.astype(v.dtype), v, ((2,), (1,))
-        )
-        m_scr[:] = m_new
-
-    last = (iq * bq + bq - 1) // bk if causal else pl.num_programs(3) - 1
-
-    @pl.when(ik == last)
+    @pl.when(smap_ref[3, t] == 1)
     def _finalize():
         denom = l_scr[:]
         # fully-masked rows (all keys pad) -> reference softmax yields NaN;
@@ -313,6 +309,57 @@ def _flash_kernel(
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+@functools.lru_cache(maxsize=128)
+def _grid_maps(nq: int, nk: int, bq: int, bk: int, causal: bool, order: str):
+    """Enumerate the VISIBLE (q-block, k-block) pairs as a flat list.
+
+    The dense causal grid wastes ~40% of its steps on fully-masked block
+    pairs -- and at this model's dh=48 the fixed per-grid-step cost (block
+    DMA + Mosaic step overhead, ~2-4 us) dwarfs the block math, so those
+    steps are pure loss. Instead the launchers below run a 1-D grid over
+    only the visible pairs and recover (iq, ik) per step from a
+    scalar-prefetch map (the splash-attention trick; index maps receive
+    the scalar ref after the grid indices).
+
+    Returns an int32 [4, V] array: rows are
+      0: iq   1: ik (or ikr for order "q_rev")   2: row-start flag
+      3: row-end flag
+    where a "row" is the axis the kernel's VMEM scratch accumulates over
+    (inner axis), so flags 2/3 drive init/finalize in-kernel.
+
+      order "qk":    outer iq, inner ik ascending 0..last(iq)  (fwd)
+      order "kq":    outer ik, inner iq ascending start(ik)..nq-1 (dK/dV)
+      order "q_rev": outer iq, inner ikr ascending; ik = nk-1-ikr
+                     descends last(iq)..0 (distance-domain dE kernel)
+
+    Non-causal callers get the dense enumeration in the same layout, so
+    kernels have a single code path.
+    """
+    import numpy as _np
+
+    rows = []
+    if order in ("qk", "q_rev"):
+        for iq in range(nq):
+            last = (
+                min(nk - 1, (iq * bq + bq - 1) // bk) if causal else nk - 1
+            )
+            inner = range(last + 1)
+            if order == "q_rev":
+                inner = range(nk - 1 - last, nk)  # ikr ascending
+            inner = list(inner)
+            for j, ikx in enumerate(inner):
+                rows.append((iq, ikx, j == 0, j == len(inner) - 1))
+    elif order == "kq":
+        for ik in range(nk):
+            start = (ik * bk) // bq if causal else 0
+            inner = list(range(start, nq))
+            for j, iq in enumerate(inner):
+                rows.append((ik, iq, j == 0, j == len(inner) - 1))
+    else:
+        raise ValueError(order)
+    return _np.asarray(rows, _np.int32).T.copy()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -388,41 +435,37 @@ def _flash_fwd_impl(
     hpb = _heads_per_block(H)
     bpb = _batch_per_block(B, "fwd")
 
-    grid = (B // bpb, H // hpb, Tp // bq, Tp // bk)
-    common_in_specs = [
-        pl.BlockSpec((bpb, hpb, bq, dh), lambda b, ih, iq, ik: (b, ih, iq, 0),
+    smap = jnp.asarray(_grid_maps(Tp // bq, Tp // bk, bq, bk, causal, "qk"))
+    V = smap.shape[1]
+    in_specs = [
+        pl.BlockSpec((bpb, hpb, bq, dh),
+                     lambda b, ih, t, s: (b, ih, s[0, t], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bpb, hpb, bk, dh), lambda b, ih, iq, ik: (b, ih, ik, 0),
+        pl.BlockSpec((bpb, hpb, bk, dh),
+                     lambda b, ih, t, s: (b, ih, s[1, t], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bpb, hpb, bk, dh), lambda b, ih, iq, ik: (b, ih, ik, 0),
+        pl.BlockSpec((bpb, hpb, bk, dh),
+                     lambda b, ih, t, s: (b, ih, s[1, t], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # e_pad, full
+        pl.BlockSpec((bpb, 1, Tp), lambda b, ih, t, s: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    pad_spec = pl.BlockSpec((bpb, 1, Tp), lambda b, ih, iq, ik: (b, 0, 0),
-                            memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _flash_kernel, bq=bq, bk=bk,
         max_seq=max_seq + pad_t,  # front padding shifts distance origin
         scale=1.0 / math.sqrt(dh), causal=causal,
     )
-    operands = (qf, kf, vf, e_pad, pk)
-    in_specs = common_in_specs + [
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # e_pad, full
-        pad_spec,
-    ]
-    out, lse = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, H, Tp, dh), q.dtype),
-            jax.ShapeDtypeStruct((B, H, 1, Tp), jnp.float32),
-        ),
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // bpb, H // hpb, V),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((bpb, hpb, bq, dh),
-                         lambda b, ih, iq, ik: (b, ih, iq, 0),
+                         lambda b, ih, t, s: (b, ih, s[0, t], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bpb, hpb, 1, Tp),
-                         lambda b, ih, iq, ik: (b, ih, 0, 0),
+                         lambda b, ih, t, s: (b, ih, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -430,6 +473,14 @@ def _flash_fwd_impl(
             pltpu.VMEM((bpb * hpb, bq, 1), jnp.float32),
             pltpu.VMEM((bpb * hpb, bq, dh), jnp.float32),
         ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tp, dh), q.dtype),
+            jax.ShapeDtypeStruct((B, H, 1, Tp), jnp.float32),
+        ),
+        grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * Tp * Tp * (2 * dh + bq + bk)
             // (2 if causal else 1),
@@ -437,7 +488,7 @@ def _flash_fwd_impl(
             transcendentals=B * H * Tp * Tp,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
-    )(*operands)
+    )(smap, qf, kf, vf, e_pad, pk)
     outf = out
     out = out[:, :, :T, :] if pad_t else out
     if return_saved:
@@ -739,7 +790,7 @@ def _bwd_dq_de_dist_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common,
 
 
 def _bwd_dkdv_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, e_ref, pad_ref,
+    smap_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, e_ref, pad_ref,
     dk_ref, dv_ref, dqk_ref, dk_scr, dv_scr, dq_scr,
     *, bq, bk, max_seq, scale, causal,
 ):
@@ -754,52 +805,46 @@ def _bwd_dkdv_dq_kernel(
     distance-domain kernel (_bwd_de_dqrel_kernel), which needs no unskew
     adjoint at all. Net: the 2*log2(bq)-pass static unskew AND one of the
     two softmax recomputes vanish from the backward."""
-    ik = pl.program_id(2)
-    iq = pl.program_id(3)
+    t = pl.program_id(2)
+    ik = smap_ref[0, t]
+    iq = smap_ref[1, t]
 
-    @pl.when(iq == 0)
+    @pl.when(smap_ref[2, t] == 1)  # first visible iq of this k-block row
     def _():
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    @pl.when((ik == 0) & (iq == 0))
+    @pl.when(t == 0)
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    visible = (iq * bq + bq - 1 >= ik * bk) if causal else (iq >= 0)
+    # all enumerated pairs are visible (_grid_maps) -- body unconditional
+    bpb, hpb, _, dh = q_ref.shape
+    n = bpb * hpb
+    q = q_ref[:].reshape(n, bq, dh)
+    k = k_ref[:].reshape(n, bk, dh)
+    v = v_ref[:].reshape(n, bk, dh)
+    do = do_ref[:].reshape(n, bq, dh)
+    lse_row = lse_ref[:, :, 0, pl.ds(iq * bq, bq)].reshape(n, bq, 1)
+    d_row = dsum_ref[:, :, 0, pl.ds(iq * bq, bq)].reshape(n, bq, 1)
+    pad_mask = _pad_mask_rows(pad_ref, ik * bk, bk, bpb, hpb)
+    p, _, a, b, _ = _recompute_block(
+        q, k, e_ref, lse_row, pad_mask, iq, ik, bq, bk, max_seq, scale,
+        causal,
+    )
+    dv_scr[:] += _bdot(p.astype(do.dtype), do, ((1,), (1,)))
+    dp = _bdot(do, v, ((2,), (2,)))
+    ds = ((p * (dp - d_row)) * scale).astype(q.dtype)
+    dk_scr[:] += _bdot(ds, q, ((1,), (1,)))
+    dq_scr[:, pl.ds(iq * bq, bq), :] += _bdot(ds, k, ((2,), (1,)))
 
-    @pl.when(visible)
+    @pl.when(smap_ref[3, t] == 1)  # last iq of this k-block row
     def _():
-        bpb, hpb, _, dh = q_ref.shape
-        n = bpb * hpb
-        q = q_ref[:].reshape(n, bq, dh)
-        k = k_ref[:].reshape(n, bk, dh)
-        v = v_ref[:].reshape(n, bk, dh)
-        do = do_ref[:].reshape(n, bq, dh)
-        lse_row = lse_ref[:, :, 0, pl.ds(iq * bq, bq)].reshape(n, bq, 1)
-        d_row = dsum_ref[:, :, 0, pl.ds(iq * bq, bq)].reshape(n, bq, 1)
-        pad_mask = _pad_mask_rows(pad_ref, ik * bk, bk, bpb, hpb)
-        p, _, a, b, _ = _recompute_block(
-            q, k, e_ref, lse_row, pad_mask, iq, ik, bq, bk, max_seq, scale,
-            causal,
-        )
-        dv_scr[:] += _bdot(p.astype(do.dtype), do, ((1,), (1,)))
-        dp = _bdot(do, v, ((2,), (2,)))
-        ds = ((p * (dp - d_row)) * scale).astype(q.dtype)
-        dk_scr[:] += _bdot(ds, q, ((1,), (1,)))
-        dq_scr[:, pl.ds(iq * bq, bq), :] += _bdot(ds, k, ((2,), (1,)))
-
-    @pl.when(iq == pl.num_programs(3) - 1)
-    def _():
-        bpb, hpb, _, dh = q_ref.shape
         dk_ref[:] = dk_scr[:].astype(dk_ref.dtype).reshape(bpb, hpb, bk, dh)
         dv_ref[:] = dv_scr[:].astype(dv_ref.dtype).reshape(bpb, hpb, bk, dh)
 
-    @pl.when(
-        (ik == pl.num_programs(2) - 1) & (iq == pl.num_programs(3) - 1)
-    )
+    @pl.when(t == pl.num_programs(2) - 1)
     def _():
-        bpb, hpb, _, dh = q_ref.shape
         Tp = dq_scr.shape[1]
         dqk_ref[:] = dq_scr[:].astype(dqk_ref.dtype).reshape(
             bpb, hpb, Tp, dh
@@ -807,8 +852,8 @@ def _bwd_dkdv_dq_kernel(
 
 
 def _bwd_de_dqrel_kernel(
-    q_ref, kr_ref, vr_ref, do_ref, lse_ref, dsum_ref, er_ref, padr_ref,
-    dqr_ref, der_ref, dq_scr, der_scr,
+    smap_ref, q_ref, kr_ref, vr_ref, do_ref, lse_ref, dsum_ref, er_ref,
+    padr_ref, dqr_ref, der_ref, dq_scr, der_scr,
     *, bq, bk, max_seq, scale, causal, nk, F,
 ):
     """dE + dq_rel with NO unskew and NO second softmax recompute: the
@@ -824,72 +869,69 @@ def _bwd_de_dqrel_kernel(
     dsrel; causal grids get it for free from the NEG_INF)."""
     ib = pl.program_id(0)
     ih = pl.program_id(1)
-    iq = pl.program_id(2)
-    ikr = pl.program_id(3)
+    t = pl.program_id(2)
+    iq = smap_ref[0, t]
+    ikr = smap_ref[1, t]
     ik = nk - 1 - ikr
     hpb = q_ref.shape[1]
     L = bq + bk
 
-    @pl.when(ikr == 0)
+    @pl.when(smap_ref[2, t] == 1)  # first visible ikr of this q-block row
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    @pl.when((ib == 0) & (ih == 0) & (iq == 0) & (ikr == 0))
+    @pl.when((ib == 0) & (ih == 0) & (t == 0))
     def _():
         der_scr[:] = jnp.zeros_like(der_scr)
 
-    visible = (ik * bk <= iq * bq + bq - 1) if causal else (ikr >= 0)
+    # all enumerated pairs are visible (_grid_maps) -- body unconditional
+    q = q_ref[0]  # [hpb, bq, dh]
+    kr = kr_ref[0]
+    vr = vr_ref[0]
+    do = do_ref[0]
+    lse_row = lse_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
+    d_row = dsum_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
+    padr_row = padr_ref[0, 0, pl.ds(ikr * bk, bk)]
 
-    @pl.when(visible)
-    def _():
-        q = q_ref[0]  # [hpb, bq, dh]
-        kr = kr_ref[0]
-        vr = vr_ref[0]
-        do = do_ref[0]
-        lse_row = lse_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
-        d_row = dsum_ref[0, :, 0, pl.ds(iq * bq, bq)][:, :, None]
-        padr_row = padr_ref[0, 0, pl.ds(ikr * bk, bk)]
+    doff = iq * bq - (nk - ikr) * bk + 1  # d(c) = c + doff
+    qkp = _bdot(q, kr, ((2,), (2,)))  # [hpb, bq, bk] f32
+    qkp = jnp.where(padr_row[None, None, :] != 0, NEG_INF, qkp)
+    qkp = jnp.concatenate(
+        [qkp, jnp.full((hpb, bq, bq), NEG_INF, jnp.float32)], axis=-1
+    )
+    # roll row a right by a: qkd[a, c] = qk'[a, c - a]; the wrapped
+    # region lands on the NEG_INF padding, so p_d vanishes there
+    qkd = pltpu.roll(qkp, 0, 2, stride=1, stride_axis=1)
+    er_slice = er_ref[pl.ds(F + doff, L), :].astype(q.dtype)
+    band_rev = _dot(q, er_slice, ((2,), (1,)))  # [hpb, bq, L] f32
+    dist = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2) + doff
+    srel_d = jnp.where(dist >= 0, band_rev, 0.0)  # qe-mask: d<0 -> 0
+    s_d = (qkd + srel_d) * scale
+    if causal:
+        s_d = jnp.where(dist < 0, NEG_INF, s_d)
+    p_d = jnp.exp(s_d - lse_row)  # [hpb, bq, L]
+    dpp = _bdot(do, vr, ((2,), (2,)))  # [hpb, bq, bk]
+    dpp = jnp.concatenate(
+        [dpp, jnp.zeros((hpb, bq, bq), jnp.float32)], axis=-1
+    )
+    dpd = pltpu.roll(dpp, 0, 2, stride=1, stride_axis=1)
+    dsd = p_d * (dpd - d_row) * scale
+    dsd = jnp.where(dist >= 0, dsd, 0.0).astype(q.dtype)  # qe adjoint
+    dq_scr[:] += _dot(dsd, er_slice, ((2,), (0,)))
+    de_blk = jax.lax.dot_general(
+        dsd, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [hpb, L, dh]
+    der_scr[pl.ds(F + doff, L), :] += jnp.sum(de_blk, axis=0)
 
-        doff = iq * bq - (nk - ikr) * bk + 1  # d(c) = c + doff
-        qkp = _bdot(q, kr, ((2,), (2,)))  # [hpb, bq, bk] f32
-        qkp = jnp.where(padr_row[None, None, :] != 0, NEG_INF, qkp)
-        qkp = jnp.concatenate(
-            [qkp, jnp.full((hpb, bq, bq), NEG_INF, jnp.float32)], axis=-1
-        )
-        # roll row a right by a: qkd[a, c] = qk'[a, c - a]; the wrapped
-        # region lands on the NEG_INF padding, so p_d vanishes there
-        qkd = pltpu.roll(qkp, 0, 2, stride=1, stride_axis=1)
-        er_slice = er_ref[pl.ds(F + doff, L), :].astype(q.dtype)
-        band_rev = _dot(q, er_slice, ((2,), (1,)))  # [hpb, bq, L] f32
-        dist = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2) + doff
-        srel_d = jnp.where(dist >= 0, band_rev, 0.0)  # qe-mask: d<0 -> 0
-        s_d = (qkd + srel_d) * scale
-        if causal:
-            s_d = jnp.where(dist < 0, NEG_INF, s_d)
-        p_d = jnp.exp(s_d - lse_row)  # [hpb, bq, L]
-        dpp = _bdot(do, vr, ((2,), (2,)))  # [hpb, bq, bk]
-        dpp = jnp.concatenate(
-            [dpp, jnp.zeros((hpb, bq, bq), jnp.float32)], axis=-1
-        )
-        dpd = pltpu.roll(dpp, 0, 2, stride=1, stride_axis=1)
-        dsd = p_d * (dpd - d_row) * scale
-        dsd = jnp.where(dist >= 0, dsd, 0.0).astype(q.dtype)  # qe adjoint
-        dq_scr[:] += _dot(dsd, er_slice, ((2,), (0,)))
-        de_blk = jax.lax.dot_general(
-            dsd, q, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [hpb, L, dh]
-        der_scr[pl.ds(F + doff, L), :] += jnp.sum(de_blk, axis=0)
-
-    @pl.when(ikr == nk - 1)
+    @pl.when(smap_ref[3, t] == 1)  # last ikr of this q-block row
     def _():
         dqr_ref[0] = dq_scr[:].astype(dqr_ref.dtype)
 
     @pl.when(
         (ib == pl.num_programs(0) - 1)
         & (ih == pl.num_programs(1) - 1)
-        & (iq == pl.num_programs(2) - 1)
-        & (ikr == pl.num_programs(3) - 1)
+        & (t == pl.num_programs(2) - 1)
     )
     def _():
         der_ref[:] = der_scr[:]
@@ -1040,41 +1082,44 @@ def _bwd_dkdv_dq_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk,
     B, H = qf.shape[0], qf.shape[1]
     dh = qf.shape[-1]
     bpb = _batch_per_block(B, "dkdvdq")
+    smap = jnp.asarray(
+        _grid_maps(Tp // bq, Tp // bk, bq, bk, common["causal"], "kq")
+    )
+    V = smap.shape[1]
     in_specs_kv = [
-        pl.BlockSpec((bpb, hpb, bq, dh), lambda b, ih, ik, iq: (b, ih, iq, 0),
+        pl.BlockSpec((bpb, hpb, bq, dh),
+                     lambda b, ih, t, s: (b, ih, s[1, t], 0),
                      memory_space=pltpu.VMEM),  # q
-        pl.BlockSpec((bpb, hpb, bk, dh), lambda b, ih, ik, iq: (b, ih, ik, 0),
+        pl.BlockSpec((bpb, hpb, bk, dh),
+                     lambda b, ih, t, s: (b, ih, s[0, t], 0),
                      memory_space=pltpu.VMEM),  # k
-        pl.BlockSpec((bpb, hpb, bk, dh), lambda b, ih, ik, iq: (b, ih, ik, 0),
+        pl.BlockSpec((bpb, hpb, bk, dh),
+                     lambda b, ih, t, s: (b, ih, s[0, t], 0),
                      memory_space=pltpu.VMEM),  # v
-        pl.BlockSpec((bpb, hpb, bq, dh), lambda b, ih, ik, iq: (b, ih, iq, 0),
+        pl.BlockSpec((bpb, hpb, bq, dh),
+                     lambda b, ih, t, s: (b, ih, s[1, t], 0),
                      memory_space=pltpu.VMEM),  # do
-        pl.BlockSpec((bpb, hpb, 1, Tp), lambda b, ih, ik, iq: (b, ih, 0, 0),
+        pl.BlockSpec((bpb, hpb, 1, Tp), lambda b, ih, t, s: (b, ih, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bpb, hpb, 1, Tp), lambda b, ih, ik, iq: (b, ih, 0, 0),
+        pl.BlockSpec((bpb, hpb, 1, Tp), lambda b, ih, t, s: (b, ih, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec((bpb, 1, Tp), lambda b, ih, ik, iq: (b, 0, 0),
+        pl.BlockSpec((bpb, 1, Tp), lambda b, ih, t, s: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    dk, dv, dqk = pl.pallas_call(
-        functools.partial(_bwd_dkdv_dq_kernel, **common),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, H, Tp, dh), kf.dtype),
-            jax.ShapeDtypeStruct((B, H, Tp, dh), vf.dtype),
-            jax.ShapeDtypeStruct((B, H, Tp, dh), qf.dtype),
-        ),
-        grid=(B // bpb, H // hpb, Tp // bk, Tp // bq),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // bpb, H // hpb, V),
         in_specs=in_specs_kv,
         out_specs=(
             pl.BlockSpec((bpb, hpb, bk, dh),
-                         lambda b, ih, ik, iq: (b, ih, ik, 0),
+                         lambda b, ih, t, s: (b, ih, s[0, t], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bpb, hpb, bk, dh),
-                         lambda b, ih, ik, iq: (b, ih, ik, 0),
+                         lambda b, ih, t, s: (b, ih, s[0, t], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bpb, hpb, Tp, dh),
-                         lambda b, ih, ik, iq: (b, ih, 0, 0),
+                         lambda b, ih, t, s: (b, ih, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -1082,8 +1127,17 @@ def _bwd_dkdv_dq_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk,
             pltpu.VMEM((bpb * hpb, bk, dh), jnp.float32),
             pltpu.VMEM((bpb * hpb, Tp, dh), jnp.float32),
         ],
+    )
+    dk, dv, dqk = pl.pallas_call(
+        functools.partial(_bwd_dkdv_dq_kernel, **common),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tp, dh), kf.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, dh), vf.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, dh), qf.dtype),
+        ),
+        grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BWD),
-    )(qf, kf, vf, dof, lse, dsum, e_pad, pk)
+    )(smap, qf, kf, vf, dof, lse, dsum, e_pad, pk)
     return dk, dv, dqk
 
 
@@ -1110,24 +1164,24 @@ def _bwd_de_dqrel_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common,
     vr = jnp.flip(vf, axis=2)
     padr = jnp.flip(pk, axis=-1)
 
+    smap = jnp.asarray(
+        _grid_maps(Tp // bq, nk, bq, bk, common["causal"], "q_rev")
+    )
+    V = smap.shape[1]
     qspec = pl.BlockSpec((1, hpb, bq, dh),
-                         lambda b, ih, iq, ikr: (b, ih, iq, 0),
+                         lambda b, ih, t, s: (b, ih, s[0, t], 0),
                          memory_space=pltpu.VMEM)
     krspec = pl.BlockSpec((1, hpb, bk, dh),
-                          lambda b, ih, iq, ikr: (b, ih, ikr, 0),
+                          lambda b, ih, t, s: (b, ih, s[1, t], 0),
                           memory_space=pltpu.VMEM)
     rowspec = pl.BlockSpec((1, hpb, 1, Tp),
-                           lambda b, ih, iq, ikr: (b, ih, 0, 0),
+                           lambda b, ih, t, s: (b, ih, 0, 0),
                            memory_space=pltpu.VMEM)
-    padspec = pl.BlockSpec((1, 1, Tp), lambda b, ih, iq, ikr: (b, 0, 0),
+    padspec = pl.BlockSpec((1, 1, Tp), lambda b, ih, t, s: (b, 0, 0),
                            memory_space=pltpu.VMEM)
-    dqr, der = pl.pallas_call(
-        functools.partial(_bwd_de_dqrel_kernel, **common, nk=nk, F=F),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, H, Tp, dh), qf.dtype),
-            jax.ShapeDtypeStruct((n_rev, dh), jnp.float32),
-        ),
-        grid=(B, H // hpb, Tp // bq, nk),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H // hpb, V),
         in_specs=[
             qspec,    # q
             krspec,   # k reversed
@@ -1140,7 +1194,7 @@ def _bwd_de_dqrel_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common,
         ],
         out_specs=(
             pl.BlockSpec((1, hpb, bq, dh),
-                         lambda b, ih, iq, ikr: (b, ih, iq, 0),
+                         lambda b, ih, t, s: (b, ih, s[0, t], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
@@ -1148,8 +1202,16 @@ def _bwd_de_dqrel_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common,
             pltpu.VMEM((hpb, bq, dh), jnp.float32),
             pltpu.VMEM((n_rev, dh), jnp.float32),
         ],
+    )
+    dqr, der = pl.pallas_call(
+        functools.partial(_bwd_de_dqrel_kernel, **common, nk=nk, F=F),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tp, dh), qf.dtype),
+            jax.ShapeDtypeStruct((n_rev, dh), jnp.float32),
+        ),
+        grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BWD),
-    )(qf, kr, vr, dof, lse, dsum, er_pad, padr)
+    )(smap, qf, kr, vr, dof, lse, dsum, er_pad, padr)
     # distance rows back to table rows (see _bwd_dq_de_dist_call)
     de_pad = jnp.flip(der[F : F + m_eff], axis=0)
     return dqr, de_pad

@@ -115,13 +115,18 @@ SKEW_IMPL = _os.environ.get("MIDI_EMOTION_SKEW", "strided")
 DQDE_IMPL = _os.environ.get("MIDI_EMOTION_DQDE", "column")
 
 # Backward decomposition:
-#   "split" -- dq_qk rides the dK/dV sweep (one extra MXU dot against a
-#              persistent scratch) and dE + dq_rel come from the
-#              distance-domain kernel; NO unskew adjoint and NO second
-#              softmax recompute anywhere (see _bwd_dkdv_dq_kernel)
-#   "fused" -- the r2 two-kernel layout: dq/dE fused (with the
-#              2*log2(bq)-pass static unskew), dK/dV separate
-BWD_IMPL = _os.environ.get("MIDI_EMOTION_BWD", "split")
+#   "merged" -- ONE kernel for everything: the dK/dV sweep's ds is
+#               column-reversed on the MXU (ds @ anti-identity, exact in
+#               bf16) and +1-stride-rolled into the distance domain, so
+#               dE + dq_rel ride the same sweep as dK/dV/dq_qk. No second
+#               softmax recompute, no unskew adjoint, and -- unlike
+#               "split" -- no XLA K/V reversals and no separate dq add
+#               (see _bwd_merged_kernel)
+#   "split"  -- dq_qk rides the dK/dV sweep and dE + dq_rel come from the
+#               distance-domain kernel over XLA-reversed K/V
+#   "fused"  -- the r2 two-kernel layout: dq/dE fused (with the
+#               2*log2(bq)-pass static unskew), dK/dV separate
+BWD_IMPL = _os.environ.get("MIDI_EMOTION_BWD", "merged")
 
 
 def _dot(a, b, dims):
@@ -1141,6 +1146,191 @@ def _bwd_dkdv_dq_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk,
     return dk, dv, dqk
 
 
+def _bwd_merged_kernel(
+    smap_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, e_ref, er_ref,
+    pad_ref, dk_ref, dv_ref, dq_ref, der_ref,
+    dk_scr, dv_scr, dq_scr, der_scr,
+    *, bq, bk, max_seq, scale, causal, nk, F,
+):
+    """The ENTIRE backward in one sweep: dK, dV, dq (both terms), dE.
+
+    Extends _bwd_dkdv_dq_kernel with the distance-domain dE/dq_rel work,
+    exploiting one identity: the distance-domain ds the dE kernel
+    laboriously recomputed (reversed K/V, its own qk/dp dots, an L-wide
+    exp) is just the column-REVERSAL of the ds this sweep already has,
+    rolled by the lowerable +1 stride:
+
+        dsd[a, c] = (ds @ Fr)[a, c - a],   Fr = anti-identity [bk, bk]
+
+    Column reversal as an MXU dot with a 0/1 matrix is EXACT in bf16, so
+    the adjoint qe-mask (d >= 0) is the only extra elementwise work.
+    Compared to the "split" layout this removes per layer: the second
+    grid sweep (its q/do/lse/dsum DMA + per-step overhead), the XLA K/V
+    time-reversals feeding it (~0.4 ms/layer at the flagship shape), the
+    qk'/dp'/band_rev dots and L-wide exp, and the XLA add of the two dq
+    halves (dq accumulates in ONE f32 scratch here)."""
+    t = pl.program_id(2)
+    ik = smap_ref[0, t]
+    iq = smap_ref[1, t]
+
+    @pl.when(smap_ref[2, t] == 1)  # first visible iq of this k-block row
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(t == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when(
+        (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (t == 0)
+    )
+    def _():
+        der_scr[:] = jnp.zeros_like(der_scr)
+
+    bpb, hpb, _, dh = q_ref.shape
+    n = bpb * hpb
+    L = bq + bk
+    q = q_ref[:].reshape(n, bq, dh)
+    k = k_ref[:].reshape(n, bk, dh)
+    v = v_ref[:].reshape(n, bk, dh)
+    do = do_ref[:].reshape(n, bq, dh)
+    lse_row = lse_ref[:, :, 0, pl.ds(iq * bq, bq)].reshape(n, bq, 1)
+    d_row = dsum_ref[:, :, 0, pl.ds(iq * bq, bq)].reshape(n, bq, 1)
+    pad_mask = _pad_mask_rows(pad_ref, ik * bk, bk, bpb, hpb)
+    p, _, a, b, _ = _recompute_block(
+        q, k, e_ref, lse_row, pad_mask, iq, ik, bq, bk, max_seq, scale,
+        causal,
+    )
+    # ---- column-domain terms (identical to _bwd_dkdv_dq_kernel) -------
+    dv_scr[:] += _bdot(p.astype(do.dtype), do, ((1,), (1,)))
+    dp = _bdot(do, v, ((2,), (2,)))
+    ds = ((p * (dp - d_row)) * scale).astype(q.dtype)
+    dk_scr[:] += _bdot(ds, q, ((1,), (1,)))
+    dq_upd = _bdot(ds, k, ((2,), (1,)))  # [n, bq, dh] f32
+    # ---- distance-domain terms: dsd = roll(ds @ Fr) -------------------
+    rc = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 0) + \
+        jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 1)
+    fr = (rc == bk - 1).astype(ds.dtype)  # anti-identity
+    dsr = _dot(ds, fr, ((2,), (0,)))  # [n, bq, bk] f32, exact reversal
+    dsp = jnp.concatenate(
+        [dsr, jnp.zeros((n, bq, bq), jnp.float32)], axis=-1
+    )
+    # roll row a right by a: dsd[a, c] = dsr[a, c - a]; wrapped entries
+    # land on the zero padding
+    dsd_f = pltpu.roll(dsp, 0, 2, stride=1, stride_axis=1)
+    doff = iq * bq - (ik + 1) * bk + 1  # d(c) = c + doff
+    dist = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2) + doff
+    # qe-adjoint: the reference zeroes the relative bias for j > i even
+    # when P is nonzero there (non-causal regression model)
+    dsd = jnp.where(dist >= 0, dsd_f, 0.0).astype(q.dtype)
+    er_slice = er_ref[pl.ds(F + doff, L), :].astype(q.dtype)
+    dq_upd += _dot(dsd, er_slice, ((2,), (0,)))
+    dq_scr[:, pl.ds(iq * bq, bq), :] += dq_upd
+    de_blk = jax.lax.dot_general(
+        dsd, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [n, L, dh]
+    der_scr[pl.ds(F + doff, L), :] += jnp.sum(de_blk, axis=0)
+
+    @pl.when(smap_ref[3, t] == 1)  # last iq of this k-block row
+    def _():
+        dk_ref[:] = dk_scr[:].astype(dk_ref.dtype).reshape(bpb, hpb, bk, dh)
+        dv_ref[:] = dv_scr[:].astype(dv_ref.dtype).reshape(bpb, hpb, bk, dh)
+
+    @pl.when(t == pl.num_programs(2) - 1)
+    def _():
+        Tp = dq_scr.shape[1]
+        dq_ref[:] = dq_scr[:].astype(dq_ref.dtype).reshape(
+            bpb, hpb, Tp, dh
+        )
+
+    @pl.when(
+        (pl.program_id(0) == pl.num_programs(0) - 1)
+        & (pl.program_id(1) == pl.num_programs(1) - 1)
+        & (t == pl.num_programs(2) - 1)
+    )
+    def _():
+        der_ref[:] = der_scr[:]
+
+
+def _bwd_merged_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common,
+                     bq, bk, hpb, Tp):
+    """Launch the all-in-one backward kernel (see _bwd_merged_kernel)."""
+    B, H = qf.shape[0], qf.shape[1]
+    dh = qf.shape[-1]
+    nk = Tp // bk
+    m_eff = common["max_seq"]
+    F = Tp
+    e_eff = e_pad[:m_eff]
+    er_pad = jnp.concatenate(
+        [
+            jnp.zeros((F, dh), jnp.float32),
+            e_eff[::-1],
+            jnp.zeros((bq + bk, dh), jnp.float32),
+        ],
+        axis=0,
+    )  # row F + d holds E_eff[m_eff - 1 - d]
+    n_rev = er_pad.shape[0]
+    bpb = _batch_per_block(B, "dkdvdq")
+    smap = jnp.asarray(
+        _grid_maps(Tp // bq, nk, bq, bk, common["causal"], "kq")
+    )
+    V = smap.shape[1]
+    qspec = pl.BlockSpec((bpb, hpb, bq, dh),
+                         lambda b, ih, t, s: (b, ih, s[1, t], 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((bpb, hpb, bk, dh),
+                         lambda b, ih, t, s: (b, ih, s[0, t], 0),
+                         memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((bpb, hpb, 1, Tp),
+                           lambda b, ih, t, s: (b, ih, 0, 0),
+                           memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // bpb, H // hpb, V),
+        in_specs=[
+            qspec,    # q
+            kspec,    # k
+            kspec,    # v
+            qspec,    # do
+            rowspec,  # lse
+            rowspec,  # dsum
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # e_pad
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # er_pad
+            pl.BlockSpec((bpb, 1, Tp), lambda b, ih, t, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),  # pad rows
+        ],
+        out_specs=(
+            kspec,  # dk
+            kspec,  # dv
+            pl.BlockSpec((bpb, hpb, Tp, dh),
+                         lambda b, ih, t, s: (b, ih, 0, 0),
+                         memory_space=pltpu.VMEM),  # dq
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # der
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bpb * hpb, bk, dh), jnp.float32),
+            pltpu.VMEM((bpb * hpb, bk, dh), jnp.float32),
+            pltpu.VMEM((bpb * hpb, Tp, dh), jnp.float32),
+            pltpu.VMEM((n_rev, dh), jnp.float32),
+        ],
+    )
+    dk, dv, dq, der = pl.pallas_call(
+        functools.partial(_bwd_merged_kernel, **common, nk=nk, F=F),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tp, dh), kf.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, dh), vf.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, dh), qf.dtype),
+            jax.ShapeDtypeStruct((n_rev, dh), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BWD),
+    )(smap, qf, kf, vf, dof, lse, dsum, e_pad, er_pad, pk)
+    de_pad = jnp.flip(der[F : F + m_eff], axis=0)
+    return dk, dv, dq, de_pad
+
+
 def _bwd_de_dqrel_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common,
                        bq, bk, hpb, Tp):
     """Launch the distance-domain dE + dq_rel kernel (split backward).
@@ -1255,7 +1445,11 @@ def _flash_bwd_from_saved(qf, kf, vf, pk, outf, e, causal, lse, g, T,
         bq=bq, bk=bk, max_seq=max_seq + pad_t,
         scale=1.0 / math.sqrt(dh), causal=causal,
     )
-    if BWD_IMPL == "split":
+    if BWD_IMPL == "merged":
+        dk, dv, dq, de_pad = _bwd_merged_call(
+            qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
+        )
+    elif BWD_IMPL == "split":
         dk, dv, dqk = _bwd_dkdv_dq_call(
             qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
         )

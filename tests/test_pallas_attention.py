@@ -83,12 +83,27 @@ def test_flash_gradients_match_xla():
 
 
 @pytest.mark.parametrize(
-    "causal,with_pads,T",
-    [(True, False, 128), (True, True, 256), (False, False, 128), (True, False, 200)],
+    "causal,with_pads,T,impl",
+    [
+        # default ("merged") across shapes/modes
+        (True, False, 128, None),
+        (True, True, 256, None),
+        (False, False, 128, None),
+        (True, False, 200, None),
+        # the alternative backward decompositions stay covered
+        (True, True, 256, "split"),
+        (False, False, 128, "split"),
+        (True, True, 256, "fused"),
+        (False, False, 128, "fused"),
+    ],
 )
-def test_flash_backward_kernels_match_xla(causal, with_pads, T):
+def test_flash_backward_kernels_match_xla(causal, with_pads, T, impl,
+                                          monkeypatch):
     """The hand-written Pallas backward (dQ/dK/dV/dE kernels) vs autodiff
-    through the exact-math XLA path, incl. pads and non-causal."""
+    through the exact-math XLA path, incl. pads and non-causal, for every
+    backward decomposition (BWD_IMPL merged/split/fused)."""
+    if impl is not None:
+        monkeypatch.setattr(pallas_attention, "BWD_IMPL", impl)
     B, H, dh, max_seq = 2, 2, 16, 512
     q = _rand((B, H, T, dh), 10)
     k = _rand((B, H, T, dh), 11)

@@ -79,6 +79,10 @@ class RelativeGlobalAttention(nn.Module):
         B, T, _ = x.shape
         return x.reshape(B, T, self.n_head, -1).transpose(0, 2, 1, 3)
 
+    @staticmethod
+    def _pad_t(x: jnp.ndarray, n: int) -> jnp.ndarray:
+        return jnp.pad(x, ((0, 0), (0, n), (0, 0))) if n > 0 else x
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -86,17 +90,50 @@ class RelativeGlobalAttention(nn.Module):
         pad_keys: Optional[jnp.ndarray],
         return_kv: bool = False,
     ):
-        q = self._split(self.wq(x))
-        k = self._split(self.wk(x))
-        v = self._split(self.wv(x))
+        from ..ops.attention import resolve_attn_impl
+
+        B, T, _ = x.shape
+        Tp = T
+        if resolve_attn_impl(self.attn_impl) == "pallas":
+            # pre-pad to the kernel's block multiple HERE, where the
+            # tensors are [B, T, d_model]: the kernel's own pads run after
+            # the head transpose on [B, H, T, 48], whose 48-lane minor dim
+            # is HBM-padded to 128 (2.7x the pad bytes; ~2 ms/step at the
+            # flagship shape). The tail is masked via pad_keys and sliced
+            # off after the merge below.
+            from ..ops.pallas_attention import padded_len
+
+            # only when the padded length stays within the E table: the
+            # kernel's own padding path front-pads E to keep distance
+            # indexing valid past max_seq; pre-padded inputs skip that
+            # (pad_t=0), so Tp > max_seq would trip _prepare's assert.
+            if padded_len(T) <= self.max_seq:
+                Tp = padded_len(T)
+        proj = lambda w: self._split(self._pad_t(w(x), Tp - T))
+        q = proj(self.wq)
+        k = proj(self.wk)
+        v = proj(self.wv)
+        if Tp > T:
+            base = (
+                pad_keys
+                if pad_keys is not None
+                else jnp.zeros((B, T), bool)
+            )
+            pad_keys = jnp.pad(base, ((0, 0), (0, Tp - T)),
+                               constant_values=True)
         e = self.e_table.astype(self.dtype)
         out = relative_attention(
             q, k, v, e, causal=causal, pad_keys=pad_keys, impl=self.attn_impl
         )
-        B, H, T, dh = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
+        B, H, _, dh = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(B, Tp, H * dh)
+        if Tp > T:
+            out = out[:, :T, :]
         out = self.fc(out)
         if return_kv:
+            # cache consumers want exactly the T live rows
+            if Tp > T:
+                k, v = k[:, :, :T, :], v[:, :, :T, :]
             return out, k, v
         return out
 

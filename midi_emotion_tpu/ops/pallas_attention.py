@@ -316,6 +316,17 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def padded_len(T: int) -> int:
+    """Sequence length the flash kernels run at for an input of length T.
+
+    Callers that pre-pad their q/k/v to this length (and extend pad_keys
+    with True over the tail) skip _prepare's per-tensor pads -- which run
+    on the [B, H, T, dh] layout where dh=48 is HBM-padded to 128 lanes
+    (2.7x the bytes of a pre-transpose [B, T, d_model] pad). The model's
+    attention module does this when the pallas impl is selected."""
+    return _round_up(T, math.lcm(BLOCK_Q, BLOCK_K))
+
+
 @functools.lru_cache(maxsize=128)
 def _grid_maps(nq: int, nk: int, bq: int, bk: int, causal: bool, order: str):
     """Enumerate the VISIBLE (q-block, k-block) pairs as a flat list.

@@ -68,6 +68,31 @@ def test_dropout_path_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.parametrize("mode", ["continuous_concat", "regression"])
+def test_model_pallas_prepad_matches_xla(mode):
+    """attn_impl="pallas" through the MODEL (not just the raw kernel): the
+    attention module pre-pads q/k/v to the flash block multiple at the
+    [B, T, d_model] layout (RelativeGlobalAttention.__call__), extends
+    pad_keys over the tail, and slices the live rows back out. Outputs
+    must match the XLA closed form for causal and non-causal modes at a
+    T that is not a block multiple."""
+    from jax.experimental.pallas import tpu as pltpu
+    from midi_emotion_tpu.ops import pallas_attention as pa
+
+    # max_seq must cover padded_len(T) or the module skips the pre-pad
+    cfg = ModelConfig(mode=mode, **{**TINY, "max_seq": max(
+        256, pa.padded_len(TOKENS.shape[1]))})
+    xla_model = MusicTransformer(cfg, attn_impl="xla")
+    params = init_params(xla_model, jax.random.PRNGKey(0))
+    ref = xla_model.apply({"params": params}, TOKENS, COND, True)
+    pallas_model = MusicTransformer(cfg, attn_impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_model.apply({"params": params}, TOKENS, COND, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_pad_is_masked():
     """Logits at position i must not depend on tokens at j > i, nor on
     pad keys."""

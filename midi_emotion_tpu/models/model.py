@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import decode_rel_attention, relative_attention
+from ..ops.dropout import RecomputeDropout
 from ..ops.layernorm import FusedLayerNorm
 from .config import ModelConfig
 from .positional import sinusoid_table
@@ -219,8 +220,11 @@ class EncoderLayer(nn.Module):
         # same "scale"/"bias" param tree as nn.LayerNorm
         self.ln1 = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, name="layernorm1")
         self.ln2 = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, name="layernorm2")
-        self.drop1 = nn.Dropout(self.dropout)
-        self.drop2 = nn.Dropout(self.dropout)
+        # RecomputeDropout regenerates the mask from the key in the
+        # backward instead of saving the u32 bits (ops/dropout.py; ~3.5
+        # ms/step of residual copies at the flagship shape)
+        self.drop1 = RecomputeDropout(self.dropout)
+        self.drop2 = RecomputeDropout(self.dropout)
 
     def __call__(
         self,
@@ -315,7 +319,7 @@ class MusicTransformer(nn.Module):
             )
             for i in range(cfg.n_layer)
         ]
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = RecomputeDropout(cfg.dropout)
         out_dim = cfg.output_size if cfg.is_regression else cfg.vocab_size
         self.fc = nn.Dense(
             out_dim,

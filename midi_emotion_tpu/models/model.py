@@ -220,11 +220,6 @@ class EncoderLayer(nn.Module):
         # same "scale"/"bias" param tree as nn.LayerNorm
         self.ln1 = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, name="layernorm1")
         self.ln2 = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, name="layernorm2")
-        # RecomputeDropout regenerates the mask from the key in the
-        # backward instead of saving the u32 bits (ops/dropout.py; ~3.5
-        # ms/step of residual copies at the flagship shape)
-        self.drop1 = RecomputeDropout(self.dropout)
-        self.drop2 = RecomputeDropout(self.dropout)
 
     def __call__(
         self,
@@ -238,11 +233,22 @@ class EncoderLayer(nn.Module):
             attn, k, v = self.rga(x, causal, pad_keys, return_kv=True)
         else:
             attn = self.rga(x, causal, pad_keys)
-        attn = self.drop1(attn, deterministic=deterministic)
-        out1 = self.ln1(attn + x)
+        # training: dropout + residual add + LayerNorm run as ONE Pallas
+        # kernel with in-kernel PRNG (ops/fused_dropout.py) -- the mask,
+        # the dropout output, and the pre-LN sum never touch HBM. The
+        # dispatch inside FusedLayerNorm falls back to the composed path
+        # (RecomputeDropout + layernorm) off-TPU / at unfusable shapes.
+        if not deterministic and self.dropout > 0.0:
+            out1 = self.ln1(x, drop_sub=attn, drop_rate=self.dropout,
+                            drop_key=self.make_rng("dropout"))
+        else:
+            out1 = self.ln1(attn + x)
         ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
-        ffn = self.drop2(ffn, deterministic=deterministic)
-        out2 = self.ln2(out1 + ffn)
+        if not deterministic and self.dropout > 0.0:
+            out2 = self.ln2(out1, drop_sub=ffn, drop_rate=self.dropout,
+                            drop_key=self.make_rng("dropout"))
+        else:
+            out2 = self.ln2(out1 + ffn)
         if return_kv:
             return out2, k, v
         return out2

@@ -61,7 +61,12 @@ dropout_recompute.defvjp(_fwd, _bwd)
 
 class RecomputeDropout(nn.Module):
     """Drop-in for ``nn.Dropout(rate)`` (keyword ``deterministic`` only,
-    no broadcast dims) using the recompute-in-backward rule above."""
+    no broadcast dims) using the recompute-in-backward rule above.
+
+    On TPU, large lane-aligned inputs dispatch to the Pallas kernel with
+    IN-KERNEL hardware PRNG instead (ops/fused_dropout.py): XLA CSEs this
+    module's fwd/bwd mask regenerations back into one rng call whose u32
+    bits round-trip HBM; the kernel never materializes the mask at all."""
 
     rate: float
 
@@ -70,6 +75,10 @@ class RecomputeDropout(nn.Module):
         if deterministic or self.rate == 0.0:
             return x
         key = self.make_rng("dropout")
+        from . import fused_dropout as fd
+
+        if fd.fusable(x):
+            return fd.fused_dropout(x, jax.random.key_data(key), self.rate)
         impl = str(jax.random.key_impl(key))
         return dropout_recompute(
             x, jax.random.key_data(key), self.rate, impl

@@ -194,15 +194,40 @@ def layernorm(x, scale, bias, eps: float = 1e-6, impl: str = "auto"):
 
 class FusedLayerNorm(nn.Module):
     """Drop-in for ``nn.LayerNorm`` (same "scale"/"bias" param tree) backed
-    by the fused kernel on TPU."""
+    by the fused kernel on TPU.
+
+    With ``drop_sub`` it computes ``LayerNorm(x + dropout(drop_sub))`` in
+    ONE kernel (ops/fused_dropout.py) -- the per-layer sublayer pattern
+    (music_multi.py:103,131-135) without materializing the dropout output
+    or the pre-LN sum. ``drop_key`` is a typed PRNG key (``make_rng``);
+    shapes the fused kernel can't take fall back to the composed
+    recompute-dropout + layernorm path with the SAME parameters."""
 
     epsilon: float = 1e-6
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, drop_sub=None, drop_rate: float = 0.0,
+                 drop_key=None):
         D = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (D,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (D,), jnp.float32)
-        y = layernorm(x, scale, bias, self.epsilon)
+        if drop_sub is not None:
+            from .fused_dropout import dropout_add_layernorm, fusable
+
+            key_data = jax.random.key_data(drop_key)
+            if fusable(drop_sub):
+                y = dropout_add_layernorm(
+                    drop_sub, x, scale, bias, key_data, drop_rate,
+                    self.epsilon,
+                )
+            else:
+                from .dropout import dropout_recompute
+
+                impl = str(jax.random.key_impl(drop_key))
+                dropped = dropout_recompute(drop_sub, key_data, drop_rate,
+                                            impl)
+                y = layernorm(x + dropped, scale, bias, self.epsilon)
+        else:
+            y = layernorm(x, scale, bias, self.epsilon)
         return y.astype(self.dtype) if self.dtype is not None else y

@@ -211,14 +211,37 @@ def _pad_mask_rows(pad_ref, koff, bk, bpb, hpb):
     return jnp.repeat(pads, hpb, axis=0)[:, None, :]
 
 
+def _load_T(ref):
+    """[bpb, hpb, dh, bl] block (time-on-lanes layout) -> [n, bl, dh].
+
+    The fwd and merged-bwd kernels take q/k/v/do with TIME on the lane
+    axis: that is the physical layout XLA's projection GEMMs already
+    produce ([B][H][dh][Tp]), so requesting it removes one layout copy
+    per operand per layer (~8 copies = ~8 ms/step at the flagship shape)
+    AND the HBM tile padding of the dh=48 minor dim to 128 lanes (2.67x
+    block DMA bytes). The in-VMEM transpose back to rows-on-sublanes is
+    one relayout pass per block (measured at parity with the pre-
+    transposed load, scripts/perf_tlayout.py)."""
+    bpb, hpb, dh, bl = ref.shape
+    return jnp.transpose(ref[:].reshape(bpb * hpb, dh, bl), (0, 2, 1))
+
+
+def _store_T(ref, arr):
+    """[n, bl, dh] -> transposed into a [bpb, hpb, dh, bl] block ref."""
+    bpb, hpb, dh, bl = ref.shape
+    ref[:] = jnp.transpose(arr, (0, 2, 1)).astype(ref.dtype).reshape(
+        bpb, hpb, dh, bl
+    )
+
+
 def _flash_kernel(
     smap_ref,  # scalar-prefetch [4, V] int32: iq, ik, row-start, row-end
-    q_ref,  # [bpb, hpb, bq, dh]
-    k_ref,  # [bpb, hpb, bk, dh]
-    v_ref,  # [bpb, hpb, bk, dh]
+    q_ref,  # [bpb, hpb, dh, bq] (time-on-lanes; see _load_T)
+    k_ref,  # [bpb, hpb, dh, bk]
+    v_ref,  # [bpb, hpb, dh, bk]
     e_ref,  # [max_seq + bk, dh] (zero-padded tail)
     pad_ref,  # [bpb, 1, Tp] int32 -- 1 where key is pad (full row per batch)
-    o_ref,  # [bpb, hpb, bq, dh]
+    o_ref,  # [bpb, hpb, dh, bq]
     lse_ref,  # [bpb, hpb, 1, Tp] f32 -- per-row logsumexp (for backward;
               # the extra unit dim keeps the block's last-two dims (1, Tp),
               # legal for ANY hpb -- (hpb, Tp) needs hpb % 8 == 0)
@@ -235,7 +258,7 @@ def _flash_kernel(
     t = pl.program_id(2)
     iq = smap_ref[0, t]
     ik = smap_ref[1, t]
-    bpb, hpb, _, dh = q_ref.shape
+    bpb, hpb, dh, _ = q_ref.shape
     n = bpb * hpb
 
     @pl.when(smap_ref[2, t] == 1)
@@ -245,12 +268,17 @@ def _flash_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # every enumerated block pair is visible (_grid_maps skips the fully
-    # masked ones), so the body runs unconditionally
-    q = q_ref[:].reshape(n, bq, dh)  # model dtype (bf16 stays bf16)
-    k = k_ref[:].reshape(n, bk, dh)
-    v = v_ref[:].reshape(n, bk, dh)
+    # masked ones), so the body runs unconditionally.
+    # ONLY q is transposed to rows-on-sublanes (the band dot needs it);
+    # k and v stay in the loaded [n, dh, bl] layout and the dots contract
+    # their lane axis directly (A @ B^T lowers natively on the MXU;
+    # scripts/perf_tlayout.py --forms)
+    q = _load_T(q_ref)  # [n, bq, dh], model dtype (bf16 stays bf16)
+    kT = k_ref[:].reshape(n, dh, bk)
+    vT = v_ref[:].reshape(n, dh, bk)
 
-    s = _bdot(q, k, ((2,), (2,)))  # [n, bq, bk] f32
+    # contraction dh: q on lanes, kT on sublanes -- the MXU-native pair
+    s = _bdot(q, kT, ((2,), (1,)))  # [n, bq, bk] f32
 
     a = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 1) + iq * bq
     b = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 2) + ik * bk
@@ -289,7 +317,7 @@ def _flash_kernel(
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
     # p in the input dtype for the MXU; acc stays f32
     acc_scr[:] = acc_scr[:] * alpha + _bdot(
-        p.astype(v.dtype), v, ((2,), (1,))
+        p.astype(vT.dtype), vT, ((2,), (2,))
     )
     m_scr[:] = m_new
 
@@ -299,9 +327,7 @@ def _flash_kernel(
         # fully-masked rows (all keys pad) -> reference softmax yields NaN;
         # we output 0 instead (those rows are pad positions, loss-masked)
         safe = jnp.where(denom > 0.0, denom, 1.0)
-        o_ref[:] = (acc_scr[:] / safe).astype(o_ref.dtype).reshape(
-            bpb, hpb, bq, dh
-        )
+        _store_T(o_ref, acc_scr[:] / safe)
         # lse = m + log(l); empty rows get +BIG so the backward's
         # exp(s - lse) recomputation yields exactly 0 for them
         lse = jnp.where(
@@ -421,6 +447,41 @@ def _prepare(q, k, v, e, causal, pad_keys, bq, bk):
     return (qp, kp, vp, e_pad, pk, Tp, pad_t, pad3)
 
 
+def _prepare_T(q, k, v, e, causal, pad_keys, bq, bk):
+    """_prepare for the TIME-ON-LANES kernel layout: q/k/v arrive in the
+    public [B, H, T, dh] shape and leave as [B, H, dh, Tp]. The swapaxes
+    here is a LOGICAL transpose into the physical layout the projection
+    GEMMs already emit ([B][H][dh][Tp]), so XLA lowers it as a bitcast
+    instead of the ~0.05 ms/tensor copy the old layout forced; the pad
+    lands on the lane axis whose tiles carry no 48->128 padding."""
+    B, H, T, dh = q.shape
+    max_seq = e.shape[0]
+    assert T <= max_seq, (T, max_seq)
+    Tp = _round_up(T, math.lcm(bq, bk))
+    pad_t = Tp - T
+
+    def t_pad(x):
+        xt = jnp.swapaxes(x, 2, 3)
+        if pad_t:
+            xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, pad_t)))
+        return xt
+
+    qt, kt, vt = t_pad(q), t_pad(k), t_pad(v)
+    if pad_keys is None:
+        pk = jnp.zeros((B, Tp), jnp.int32)
+    else:
+        pk = jnp.pad(pad_keys.astype(jnp.int32), ((0, 0), (0, pad_t)))
+    if pad_t:
+        pk = pk.at[:, T:].set(1)
+    pk = pk[:, None, :]  # [B, 1, Tp] -- keeps the block tiling legal
+
+    e_pad = jnp.pad(e.astype(jnp.float32), ((pad_t, 0), (0, 0)))
+    tail = Tp if not causal else bq + bk
+    e_pad = jnp.pad(e_pad, ((0, tail), (0, 0)))
+
+    return (qt, kt, vt, e_pad, pk, Tp, pad_t, t_pad)
+
+
 def _heads_per_block(H: int) -> int:
     hpb = min(HEADS_PER_BLOCK, H)
     while H % hpb:
@@ -445,7 +506,7 @@ def _flash_fwd_impl(
     bk = bk or BLOCK_K
     B, H, T, dh = q.shape
     max_seq = e.shape[0]
-    qf, kf, vf, e_pad, pk, Tp, pad_t, _ = _prepare(
+    qf, kf, vf, e_pad, pk, Tp, pad_t, _ = _prepare_T(
         q, k, v, e, causal, pad_keys, bq, bk
     )
     hpb = _heads_per_block(H)
@@ -454,14 +515,14 @@ def _flash_fwd_impl(
     smap = jnp.asarray(_grid_maps(Tp // bq, Tp // bk, bq, bk, causal, "qk"))
     V = smap.shape[1]
     in_specs = [
-        pl.BlockSpec((bpb, hpb, bq, dh),
-                     lambda b, ih, t, s: (b, ih, s[0, t], 0),
+        pl.BlockSpec((bpb, hpb, dh, bq),
+                     lambda b, ih, t, s: (b, ih, 0, s[0, t]),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bpb, hpb, bk, dh),
-                     lambda b, ih, t, s: (b, ih, s[1, t], 0),
+        pl.BlockSpec((bpb, hpb, dh, bk),
+                     lambda b, ih, t, s: (b, ih, 0, s[1, t]),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bpb, hpb, bk, dh),
-                     lambda b, ih, t, s: (b, ih, s[1, t], 0),
+        pl.BlockSpec((bpb, hpb, dh, bk),
+                     lambda b, ih, t, s: (b, ih, 0, s[1, t]),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # e_pad, full
         pl.BlockSpec((bpb, 1, Tp), lambda b, ih, t, s: (b, 0, 0),
@@ -477,8 +538,8 @@ def _flash_fwd_impl(
         grid=(B // bpb, H // hpb, V),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((bpb, hpb, bq, dh),
-                         lambda b, ih, t, s: (b, ih, s[0, t], 0),
+            pl.BlockSpec((bpb, hpb, dh, bq),
+                         lambda b, ih, t, s: (b, ih, 0, s[0, t]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bpb, hpb, 1, Tp),
                          lambda b, ih, t, s: (b, ih, 0, 0),
@@ -490,10 +551,10 @@ def _flash_fwd_impl(
             pltpu.VMEM((bpb * hpb, bq, dh), jnp.float32),
         ],
     )
-    out, lse = pl.pallas_call(
+    outf, lse = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, Tp, dh), q.dtype),
+            jax.ShapeDtypeStruct((B, H, dh, Tp), q.dtype),
             jax.ShapeDtypeStruct((B, H, 1, Tp), jnp.float32),
         ),
         grid_spec=grid_spec,
@@ -505,13 +566,14 @@ def _flash_fwd_impl(
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(smap, qf, kf, vf, e_pad, pk)
-    outf = out
+    # back to the public [B, H, T, dh] shape -- a logical swap XLA folds
+    # into the consumer's layout choice, not a forced copy
+    out = jnp.swapaxes(outf, 2, 3)
     out = out[:, :, :T, :] if pad_t else out
     if return_saved:
-        # padded operands + padded output become the custom-vjp residuals,
-        # so the backward never re-pads q/k/v/out (4 x ~10 MB copies per
-        # layer at the flagship shape); the ~5% padded tails cost only
-        # activation memory
+        # padded operands + padded output become the custom-vjp residuals
+        # (in kernel layout), so the backward never re-pads or re-copies
+        # q/k/v/out; the ~5% padded tails cost only activation memory
         return out, lse, (qf, kf, vf, pk, outf)
     if return_lse:
         return out, lse
@@ -524,12 +586,14 @@ def _flash_fwd_impl(
 
 
 def _recompute_block(q, k, e_ref, lse_row, pad_mask, iq, ik, bq, bk, max_seq,
-                     scale, causal):
+                     scale, causal, k_transposed=False):
     """Recompute P and the (a, b) index grids for one block pair.
 
-    q: [n, bq, dh]; k: [n, bk, dh]; lse_row: [n, bq, 1];
-    pad_mask: bool, broadcastable to [n, bq, bk]."""
-    s = _bdot(q, k, ((2,), (2,)))  # [n, bq, bk]
+    q: [n, bq, dh]; k: [n, bk, dh] (or [n, dh, bk] with k_transposed --
+    the time-on-lanes kernels pass the raw block and the dot contracts
+    dh as q-lanes vs k-sublanes, the MXU-native pair); lse_row:
+    [n, bq, 1]; pad_mask: bool, broadcastable to [n, bq, bk]."""
+    s = _bdot(q, k, ((2,), (1,) if k_transposed else (2,)))  # [n, bq, bk]
     start = max_seq - iq * bq + ik * bk - bq
     e_slice = e_ref[pl.ds(start, bq + bk), :].astype(q.dtype)
     band = _dot(q, e_slice, ((2,), (1,)))
@@ -1179,7 +1243,10 @@ def _bwd_merged_kernel(
     grid sweep (its q/do/lse/dsum DMA + per-step overhead), the XLA K/V
     time-reversals feeding it (~0.4 ms/layer at the flagship shape), the
     qk'/dp'/band_rev dots and L-wide exp, and the XLA add of the two dq
-    halves (dq accumulates in ONE f32 scratch here)."""
+    halves (dq accumulates in ONE f32 scratch here).
+
+    Operands and outputs use the time-on-lanes [.., dh, time] layout
+    (see _load_T)."""
     t = pl.program_id(2)
     ik = smap_ref[0, t]
     iq = smap_ref[1, t]
@@ -1199,26 +1266,36 @@ def _bwd_merged_kernel(
     def _():
         der_scr[:] = jnp.zeros_like(der_scr)
 
-    bpb, hpb, _, dh = q_ref.shape
+    bpb, hpb, dh, _ = q_ref.shape
     n = bpb * hpb
     L = bq + bk
-    q = q_ref[:].reshape(n, bq, dh)
-    k = k_ref[:].reshape(n, bk, dh)
-    v = v_ref[:].reshape(n, bk, dh)
-    do = do_ref[:].reshape(n, bq, dh)
+    # ONLY q gets the rows-on-sublanes relayout (the band and dE dots
+    # need row layout); every other dot contracts the raw time-on-lanes
+    # blocks with MXU-native / A@B^T dimension numbers
+    # (scripts/perf_tlayout.py --forms), and dK/dV accumulate DIRECTLY in
+    # the [n, dh, bk] output layout
+    q = _load_T(q_ref)  # [n, bq, dh]
+    qT = q_ref[:].reshape(n, dh, bq)
+    kT = k_ref[:].reshape(n, dh, bk)
+    vT = v_ref[:].reshape(n, dh, bk)
+    doT = do_ref[:].reshape(n, dh, bq)
     lse_row = lse_ref[:, :, 0, pl.ds(iq * bq, bq)].reshape(n, bq, 1)
     d_row = dsum_ref[:, :, 0, pl.ds(iq * bq, bq)].reshape(n, bq, 1)
     pad_mask = _pad_mask_rows(pad_ref, ik * bk, bk, bpb, hpb)
     p, _, a, b, _ = _recompute_block(
-        q, k, e_ref, lse_row, pad_mask, iq, ik, bq, bk, max_seq, scale,
-        causal,
+        q, kT, e_ref, lse_row, pad_mask, iq, ik, bq, bk, max_seq, scale,
+        causal, k_transposed=True,
     )
-    # ---- column-domain terms (identical to _bwd_dkdv_dq_kernel) -------
-    dv_scr[:] += _bdot(p.astype(do.dtype), do, ((1,), (1,)))
-    dp = _bdot(do, v, ((2,), (2,)))
+    # ---- column-domain terms ------------------------------------------
+    # dvT[d, j] += sum_a doT[d, a] p[a, j]   (native: lanes x sublanes)
+    dv_scr[:] += _bdot(doT, p.astype(doT.dtype), ((2,), (1,)))
+    # dp[a, j] = sum_d doT[d, a] vT[d, j]    (both contract sublanes)
+    dp = _bdot(doT, vT, ((1,), (1,)))
     ds = ((p * (dp - d_row)) * scale).astype(q.dtype)
-    dk_scr[:] += _bdot(ds, q, ((1,), (1,)))
-    dq_upd = _bdot(ds, k, ((2,), (1,)))  # [n, bq, dh] f32
+    # dkT[d, j] += sum_a qT[d, a] ds[a, j]   (native)
+    dk_scr[:] += _bdot(qT, ds, ((2,), (1,)))
+    # dq[a, d] = sum_j ds[a, j] kT[d, j]     (A @ B^T)
+    dq_upd = _bdot(ds, kT, ((2,), (2,)))  # [n, bq, dh] f32
     # ---- distance-domain terms: dsd = roll(ds @ Fr) -------------------
     rc = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 0) + \
         jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 1)
@@ -1246,15 +1323,15 @@ def _bwd_merged_kernel(
 
     @pl.when(smap_ref[3, t] == 1)  # last iq of this k-block row
     def _():
-        dk_ref[:] = dk_scr[:].astype(dk_ref.dtype).reshape(bpb, hpb, bk, dh)
-        dv_ref[:] = dv_scr[:].astype(dv_ref.dtype).reshape(bpb, hpb, bk, dh)
+        # dk/dv scratches already live in the output [n, dh, bk] layout
+        dk_ref[:] = dk_scr[:].astype(dk_ref.dtype).reshape(bpb, hpb, dh, bk)
+        dv_ref[:] = dv_scr[:].astype(dv_ref.dtype).reshape(bpb, hpb, dh, bk)
 
     @pl.when(t == pl.num_programs(2) - 1)
     def _():
-        Tp = dq_scr.shape[1]
-        dq_ref[:] = dq_scr[:].astype(dq_ref.dtype).reshape(
-            bpb, hpb, Tp, dh
-        )
+        # one [n, Tp, dh] -> [n, dh, Tp] relayout per (batch, head) group
+        # per layer -- amortized over the whole k-sweep
+        _store_T(dq_ref, dq_scr[:])
 
     @pl.when(
         (pl.program_id(0) == pl.num_programs(0) - 1)
@@ -1267,9 +1344,11 @@ def _bwd_merged_kernel(
 
 def _bwd_merged_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common,
                      bq, bk, hpb, Tp):
-    """Launch the all-in-one backward kernel (see _bwd_merged_kernel)."""
+    """Launch the all-in-one backward kernel (see _bwd_merged_kernel).
+    qf/kf/vf/dof in the time-on-lanes [B, H, dh, Tp] layout; dk/dv/dq
+    come back in the same layout."""
     B, H = qf.shape[0], qf.shape[1]
-    dh = qf.shape[-1]
+    dh = qf.shape[2]
     nk = Tp // bk
     m_eff = common["max_seq"]
     F = Tp
@@ -1288,11 +1367,11 @@ def _bwd_merged_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common,
         _grid_maps(Tp // bq, nk, bq, bk, common["causal"], "kq")
     )
     V = smap.shape[1]
-    qspec = pl.BlockSpec((bpb, hpb, bq, dh),
-                         lambda b, ih, t, s: (b, ih, s[1, t], 0),
+    qspec = pl.BlockSpec((bpb, hpb, dh, bq),
+                         lambda b, ih, t, s: (b, ih, 0, s[1, t]),
                          memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((bpb, hpb, bk, dh),
-                         lambda b, ih, t, s: (b, ih, s[0, t], 0),
+    kspec = pl.BlockSpec((bpb, hpb, dh, bk),
+                         lambda b, ih, t, s: (b, ih, 0, s[0, t]),
                          memory_space=pltpu.VMEM)
     rowspec = pl.BlockSpec((bpb, hpb, 1, Tp),
                            lambda b, ih, t, s: (b, ih, 0, 0),
@@ -1315,14 +1394,14 @@ def _bwd_merged_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common,
         out_specs=(
             kspec,  # dk
             kspec,  # dv
-            pl.BlockSpec((bpb, hpb, Tp, dh),
+            pl.BlockSpec((bpb, hpb, dh, Tp),
                          lambda b, ih, t, s: (b, ih, 0, 0),
                          memory_space=pltpu.VMEM),  # dq
             pl.BlockSpec(memory_space=pltpu.VMEM),  # der
         ),
         scratch_shapes=[
-            pltpu.VMEM((bpb * hpb, bk, dh), jnp.float32),
-            pltpu.VMEM((bpb * hpb, bk, dh), jnp.float32),
+            pltpu.VMEM((bpb * hpb, dh, bk), jnp.float32),
+            pltpu.VMEM((bpb * hpb, dh, bk), jnp.float32),
             pltpu.VMEM((bpb * hpb, Tp, dh), jnp.float32),
             pltpu.VMEM((n_rev, dh), jnp.float32),
         ],
@@ -1330,9 +1409,9 @@ def _bwd_merged_call(qf, kf, vf, dof, lse, dsum, e_pad, pk, common,
     dk, dv, dq, der = pl.pallas_call(
         functools.partial(_bwd_merged_kernel, **common, nk=nk, F=F),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, Tp, dh), kf.dtype),
-            jax.ShapeDtypeStruct((B, H, Tp, dh), vf.dtype),
-            jax.ShapeDtypeStruct((B, H, Tp, dh), qf.dtype),
+            jax.ShapeDtypeStruct((B, H, dh, Tp), kf.dtype),
+            jax.ShapeDtypeStruct((B, H, dh, Tp), vf.dtype),
+            jax.ShapeDtypeStruct((B, H, dh, Tp), qf.dtype),
             jax.ShapeDtypeStruct((n_rev, dh), jnp.float32),
         ),
         grid_spec=grid_spec,
@@ -1425,31 +1504,36 @@ def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
     already-padded residuals instead."""
     bq = bq or BLOCK_Q
     bk = bk or BLOCK_K
-    qf, kf, vf, e_pad, pk, Tp, pad_t, pad3 = _prepare(
+    qf, kf, vf, e_pad, pk, Tp, pad_t, t_pad = _prepare_T(
         q, k, v, e, causal, pad_keys, bq, bk
     )
     return _flash_bwd_from_saved(
-        qf, kf, vf, pk, pad3(out), e, causal, lse, g, q.shape[2], bq, bk
+        qf, kf, vf, pk, t_pad(out), e, causal, lse, g, q.shape[2], bq, bk
     )
 
 
 def _flash_bwd_from_saved(qf, kf, vf, pk, outf, e, causal, lse, g, T,
                           bq: Optional[int] = None,
                           bk: Optional[int] = None):
-    """Backward from the forward's PADDED residuals: only the incoming
-    cotangent still needs the T -> Tp pad."""
+    """Backward from the forward's PADDED residuals (time-on-lanes
+    [B, H, dh, Tp] layout): only the incoming cotangent still needs the
+    T -> Tp pad. The default ("merged") kernel consumes and produces the
+    kernel layout natively; the legacy decompositions get XLA-transposed
+    views (they are env-knob experiment paths)."""
     bq = bq or BLOCK_Q
     bk = bk or BLOCK_K
-    B, H, Tp, dh = qf.shape
+    B, H, dh, Tp = qf.shape
     pad_t = Tp - T
     max_seq = e.shape[0]
     e_pad = jnp.pad(e.astype(jnp.float32), ((pad_t, 0), (0, 0)))
     tail = Tp if not causal else bq + bk
     e_pad = jnp.pad(e_pad, ((0, tail), (0, 0)))
     hpb = _heads_per_block(H)
-    dof = jnp.pad(g, ((0, 0), (0, 0), (0, pad_t), (0, 0))) if pad_t else g
+    dof = jnp.swapaxes(g, 2, 3)  # cotangent into kernel layout
+    if pad_t:
+        dof = jnp.pad(dof, ((0, 0), (0, 0), (0, 0), (0, pad_t)))
     dsum = jnp.sum(
-        dof.astype(jnp.float32) * outf.astype(jnp.float32), axis=-1
+        dof.astype(jnp.float32) * outf.astype(jnp.float32), axis=2
     )[:, :, None, :]  # [B, H, 1, Tp]
 
     common = dict(
@@ -1460,28 +1544,35 @@ def _flash_bwd_from_saved(qf, kf, vf, pk, outf, e, causal, lse, g, T,
         dk, dv, dq, de_pad = _bwd_merged_call(
             qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
         )
-    elif BWD_IMPL == "split":
-        dk, dv, dqk = _bwd_dkdv_dq_call(
-            qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
-        )
-        dqr, de_pad = _bwd_de_dqrel_call(
-            qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
-        )
-        # the two dq halves sum in f32 before the output cast
-        dq = (dqk.astype(jnp.float32) + dqr.astype(jnp.float32)).astype(
-            qf.dtype
-        )
+        cut = lambda x, dt: jnp.swapaxes(x, 2, 3)[:, :, :T, :].astype(dt)
     else:
-        dq_de = (_bwd_dq_de_dist_call if DQDE_IMPL == "dist"
-                 else _bwd_dq_de_call)
-        dq, de_pad = dq_de(
-            qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
-        )
-        dk, dv = _bwd_dkdv_call(
-            qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
-        )
-
-    cut = lambda x, dt: x[:, :, :T, :].astype(dt)
+        sw = lambda x: jnp.swapaxes(x, 2, 3)
+        qfo, kfo, vfo, dofo = sw(qf), sw(kf), sw(vf), sw(dof)
+        if BWD_IMPL == "split":
+            dk, dv, dqk = _bwd_dkdv_dq_call(
+                qfo, kfo, vfo, dofo, lse, dsum, e_pad, pk, common, bq, bk,
+                hpb, Tp
+            )
+            dqr, de_pad = _bwd_de_dqrel_call(
+                qfo, kfo, vfo, dofo, lse, dsum, e_pad, pk, common, bq, bk,
+                hpb, Tp
+            )
+            # the two dq halves sum in f32 before the output cast
+            dq = (dqk.astype(jnp.float32) + dqr.astype(jnp.float32)).astype(
+                qf.dtype
+            )
+        else:
+            dq_de = (_bwd_dq_de_dist_call if DQDE_IMPL == "dist"
+                     else _bwd_dq_de_call)
+            dq, de_pad = dq_de(
+                qfo, kfo, vfo, dofo, lse, dsum, e_pad, pk, common, bq, bk,
+                hpb, Tp
+            )
+            dk, dv = _bwd_dkdv_call(
+                qfo, kfo, vfo, dofo, lse, dsum, e_pad, pk, common, bq, bk,
+                hpb, Tp
+            )
+        cut = lambda x, dt: x[:, :, :T, :].astype(dt)
     dq = cut(dq, qf.dtype)
     dk = cut(dk, kf.dtype)
     dv = cut(dv, vf.dtype)
@@ -1532,8 +1623,11 @@ def _bwd(causal, residuals, g):
     import os
 
     if os.environ.get("MIDI_EMOTION_FLASH_BWD", "pallas") == "xla":
-        # debug path: recover the unpadded operands from the residuals
-        q, k, v = (x[:, :, :T, :] for x in (qf, kf, vf))
+        # debug path: recover the unpadded operands from the (time-on-
+        # lanes) residuals
+        q, k, v = (
+            jnp.swapaxes(x, 2, 3)[:, :, :T, :] for x in (qf, kf, vf)
+        )
         pad_keys = pk[:, 0, :T].astype(bool)
         _, vjp = jax.vjp(
             lambda q_, k_, v_, e_: _xla_reference(q_, k_, v_, e_, causal, pad_keys),

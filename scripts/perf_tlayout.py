@@ -105,3 +105,84 @@ if __name__ == "__main__":
             print(f"{name:32s} {us:8.1f} us/call  match={ok}")
         except Exception as e:
             print(f"{name:32s} FAILED: {str(e)[:160]}")
+
+
+def probe_forms():
+    """Probe the transposed-contraction dot forms the no-transpose kernels
+    need (run with --forms). Forms:
+      d) A @ B^T      : ds[n,bq,bk] x kT[n,dh,bk] -> [n,bq,dh]
+      e) A^T @ B^T    : qT[n,dh,bq] x e[L,dh]     -> [n,bq,L]  (band)
+      f) native mixed : doT[n,dh,bq] x p[n,bq,bk] -> [n,dh,bk] (dvT)
+    """
+    L = BQ + BK
+    r = np.random.RandomState(0)
+    ds = jnp.asarray(r.randn(N, BQ, BK), jnp.bfloat16)
+    kT = jnp.asarray(r.randn(N, DH, BK), jnp.bfloat16)
+    qT = jnp.asarray(r.randn(N, DH, BQ), jnp.bfloat16)
+    e = jnp.asarray(r.randn(L, DH), jnp.bfloat16)
+    doT = jnp.asarray(r.randn(N, DH, BQ), jnp.bfloat16)
+    p = jnp.asarray(r.randn(N, BQ, BK), jnp.bfloat16)
+
+    cases = {
+        "d) A@B^T  [n,bq,dh]": (
+            lambda a_ref, b_ref, o_ref: o_ref.__setitem__(
+                slice(None),
+                jax.lax.dot_general(a_ref[:], b_ref[:],
+                                    (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)),
+            (ds, kT), (N, BQ, DH),
+            lambda a, b: np.einsum("nqk,ndk->nqd", np.float32(a), np.float32(b)),
+        ),
+        "e) A^T@B^T [n,bq,L]": (
+            lambda a_ref, b_ref, o_ref: o_ref.__setitem__(
+                slice(None),
+                jax.lax.dot_general(a_ref[:], b_ref[:],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                .transpose(0, 2, 1) if False else
+                jax.lax.dot_general(a_ref[:], b_ref[:],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)),
+            (qT, e), (N, BQ, L),
+            lambda a, b: np.einsum("ndq,ld->nql", np.float32(a), np.float32(b)),
+        ),
+        "f) mixed  [n,dh,bk]": (
+            lambda a_ref, b_ref, o_ref: o_ref.__setitem__(
+                slice(None),
+                jax.lax.dot_general(a_ref[:], b_ref[:],
+                                    (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)),
+            (doT, p), (N, DH, BK),
+            lambda a, b: np.einsum("ndq,nqk->ndk", np.float32(a), np.float32(b)),
+        ),
+    }
+    for name, (kern, args, oshape, ref) in cases.items():
+        try:
+            f = pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct(oshape, jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024),
+            )
+            o = np.asarray(jax.device_get(f(*args)))
+            want = ref(np.asarray(args[0]), np.asarray(args[1]))
+            ok = np.allclose(o, want, atol=1.0, rtol=2e-2)
+
+            @jax.jit
+            def reps(a, b, f=f):
+                def body(c, i):
+                    o = f(a.at[(0,) * a.ndim].add(i.astype(a.dtype)), b)
+                    return c + o[0, 0, 0], None
+                c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(REPS))
+                return c
+            jax.device_get(reps(*args))
+            t0 = time.time()
+            jax.device_get(reps(*args))
+            us = (time.time() - t0) / REPS * 1e6
+            print(f"{name:24s} {us:8.1f} us/call  match={ok}")
+        except Exception as ex:
+            print(f"{name:24s} FAILED: {str(ex)[:140]}")
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--forms":
+    probe_forms()

@@ -219,9 +219,16 @@ def _load_T(ref):
     produce ([B][H][dh][Tp]), so requesting it removes one layout copy
     per operand per layer (~8 copies = ~8 ms/step at the flagship shape)
     AND the HBM tile padding of the dh=48 minor dim to 128 lanes (2.67x
-    block DMA bytes). The in-VMEM transpose back to rows-on-sublanes is
-    one relayout pass per block (measured at parity with the pre-
-    transposed load, scripts/perf_tlayout.py)."""
+    block DMA bytes).
+
+    ONLY q goes through this relayout (the band and dE dots need rows on
+    sublanes); transposing every operand at load was measured a WASH --
+    the per-block relayouts cost the ~8 ms the copies saved. All other
+    contractions run on the raw [n, dh, bl] blocks with transposed
+    dimension numbers (dh as lanes x sublanes is the MXU-native pair,
+    A@B^T lowers natively; probed in scripts/perf_tlayout.py --forms),
+    which measured FASTER than the old both-operands-lanes contraction:
+    175.6 -> 159.9 ms/step at the flagship shape."""
     bpb, hpb, dh, bl = ref.shape
     return jnp.transpose(ref[:].reshape(bpb * hpb, dh, bl), (0, 2, 1))
 

@@ -136,6 +136,20 @@ def _dot(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
+def _scaled(x, scale):
+    """x * scale, elided statically when the launcher pre-scaled q.
+
+    The impl wrappers multiply q by 1/sqrt(dh) OUTSIDE the kernel (it
+    fuses into the pad/transpose fusion XLA emits anyway) and pass
+    scale=1.0, turning every band-wide `* scale` VPU pass in here into a
+    no-op. The backward stays exact without fixups except dq: with
+    q' = q*c the logits are u = q'k + skew(q'E), so dk = q' @ dL/du and
+    dE = dsd^T @ q' already carry the c factor, while dq needs one
+    post-multiply by c (done in _flash_bwd_from_saved, fused by XLA into
+    the output slice/transpose)."""
+    return x if scale == 1.0 else x * scale
+
+
 def _bdot(a, b, dims):
     """Batched-over-axis-0 _dot: a [n, ...], b [n, ...]."""
     return jax.lax.dot_general(a, b, (dims, ((0,), (0,))),
@@ -302,12 +316,15 @@ def _flash_kernel(
             srel = _skew_band(band, bq, bk).astype(jnp.float32)
         else:  # "noskew" ablation: wrong numerics, no rolls
             srel = band[..., :bk].astype(jnp.float32)
-        # zero above the diagonal (j > i), matching the reference
-        # exactly -- this matters for the unmasked regression model
-        srel = jnp.where(b <= a, srel, 0.0)
+        if not causal:
+            # zero above the diagonal (j > i), matching the reference
+            # exactly -- this matters for the unmasked regression model.
+            # Causal runs skip the select: those positions get NEG_INF
+            # from the mask below, so the srel garbage there is dead.
+            srel = jnp.where(b <= a, srel, 0.0)
         s = s + srel
 
-    s = s * scale
+    s = _scaled(s, scale)
 
     koff = pl.multiple_of(ik * bk, bk)
     masked = _pad_mask_rows(pad_ref, koff, bk, bpb, hpb)
@@ -513,6 +530,9 @@ def _flash_fwd_impl(
     bk = bk or BLOCK_K
     B, H, T, dh = q.shape
     max_seq = e.shape[0]
+    # pre-scale q so the kernel runs scale-free (see _scaled); the
+    # multiply fuses into the transpose/pad fusion _prepare_T costs anyway
+    q = q * jnp.asarray(1.0 / math.sqrt(dh), q.dtype)
     qf, kf, vf, e_pad, pk, Tp, pad_t, _ = _prepare_T(
         q, k, v, e, causal, pad_keys, bq, bk
     )
@@ -538,7 +558,7 @@ def _flash_fwd_impl(
     kernel = functools.partial(
         _flash_kernel, bq=bq, bk=bk,
         max_seq=max_seq + pad_t,  # front padding shifts distance origin
-        scale=1.0 / math.sqrt(dh), causal=causal,
+        scale=1.0, causal=causal,  # q arrives pre-scaled (see above)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -609,8 +629,11 @@ def _recompute_block(q, k, e_ref, lse_row, pad_mask, iq, ik, bq, bk, max_seq,
     srel = _skew_band(band, bq, bk).astype(jnp.float32)
     a = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 1) + iq * bq
     b = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 2) + ik * bk
-    srel = jnp.where(b <= a, srel, 0.0)
-    s = (s + srel) * scale
+    if not causal:
+        # see _flash_kernel: causal runs let the NEG_INF mask below kill
+        # the above-diagonal srel values instead of a band-wide select
+        srel = jnp.where(b <= a, srel, 0.0)
+    s = _scaled(s + srel, scale)
     masked = pad_mask
     if causal:
         masked = masked | (b > a)
@@ -655,7 +678,7 @@ def _bwd_dq_de_kernel(
             causal,
         )
         dp = _bdot(do, v, ((2,), (2,)))
-        ds_f32 = p * (dp - d_row) * scale  # [n, bq, bk]
+        ds_f32 = _scaled(p * (dp - d_row), scale)  # [n, bq, bk]
         ds = ds_f32.astype(q.dtype)
         dq_scr[:] += _bdot(ds, k, ((2,), (1,)))
         # the unskew runs in the input dtype (static slice+concat rolls)
@@ -752,7 +775,7 @@ def _bwd_dq_de_dist_kernel(
             causal,
         )
         dp = _bdot(do, v, ((2,), (2,)))
-        ds = (p * (dp - d_row) * scale).astype(q.dtype)
+        ds = _scaled(p * (dp - d_row), scale).astype(q.dtype)
         dq_scr[:] += _bdot(ds, k, ((2,), (1,)))
 
         # ---- distance branch: dsd -> dq_rel + dE ----------------------
@@ -769,7 +792,7 @@ def _bwd_dq_de_dist_kernel(
         band_rev = _dot(q, er_slice, ((2,), (1,)))  # [hpb, bq, L] f32
         dist = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2) + doff
         srel_d = jnp.where(dist >= 0, band_rev, 0.0)  # qe-mask: d<0 -> 0
-        s_d = (qkd + srel_d) * scale
+        s_d = _scaled(qkd + srel_d, scale)
         if causal:
             s_d = jnp.where(dist < 0, NEG_INF, s_d)
         p_d = jnp.exp(s_d - lse_row)  # [hpb, bq, L]
@@ -778,7 +801,7 @@ def _bwd_dq_de_dist_kernel(
             [dpp, jnp.zeros((hpb, bq, bq), jnp.float32)], axis=-1
         )
         dpd = pltpu.roll(dpp, 0, 2, stride=1, stride_axis=1)
-        dsd = (p_d * (dpd - d_row) * scale).astype(q.dtype)
+        dsd = _scaled(p_d * (dpd - d_row), scale).astype(q.dtype)
         dq_scr[:] += _dot(dsd, er_slice, ((2,), (0,)))
         de_blk = jax.lax.dot_general(
             dsd, q, (((1,), (1,)), ((0,), (0,))),
@@ -921,7 +944,7 @@ def _bwd_dkdv_dq_kernel(
     )
     dv_scr[:] += _bdot(p.astype(do.dtype), do, ((1,), (1,)))
     dp = _bdot(do, v, ((2,), (2,)))
-    ds = ((p * (dp - d_row)) * scale).astype(q.dtype)
+    ds = _scaled(p * (dp - d_row), scale).astype(q.dtype)
     dk_scr[:] += _bdot(ds, q, ((1,), (1,)))
     dq_scr[:, pl.ds(iq * bq, bq), :] += _bdot(ds, k, ((2,), (1,)))
 
@@ -993,7 +1016,7 @@ def _bwd_de_dqrel_kernel(
     band_rev = _dot(q, er_slice, ((2,), (1,)))  # [hpb, bq, L] f32
     dist = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2) + doff
     srel_d = jnp.where(dist >= 0, band_rev, 0.0)  # qe-mask: d<0 -> 0
-    s_d = (qkd + srel_d) * scale
+    s_d = _scaled(qkd + srel_d, scale)
     if causal:
         s_d = jnp.where(dist < 0, NEG_INF, s_d)
     p_d = jnp.exp(s_d - lse_row)  # [hpb, bq, L]
@@ -1002,7 +1025,7 @@ def _bwd_de_dqrel_kernel(
         [dpp, jnp.zeros((hpb, bq, bq), jnp.float32)], axis=-1
     )
     dpd = pltpu.roll(dpp, 0, 2, stride=1, stride_axis=1)
-    dsd = p_d * (dpd - d_row) * scale
+    dsd = _scaled(p_d * (dpd - d_row), scale)
     dsd = jnp.where(dist >= 0, dsd, 0.0).astype(q.dtype)  # qe adjoint
     dq_scr[:] += _dot(dsd, er_slice, ((2,), (0,)))
     de_blk = jax.lax.dot_general(
@@ -1056,7 +1079,7 @@ def _bwd_dkdv_kernel(
         )
         dv_scr[:] += _bdot(p.astype(do.dtype), do, ((1,), (1,)))
         dp = _bdot(do, v, ((2,), (2,)))
-        ds = ((p * (dp - d_row)) * scale).astype(q.dtype)
+        ds = _scaled(p * (dp - d_row), scale).astype(q.dtype)
         dk_scr[:] += _bdot(ds, q, ((1,), (1,)))
 
     @pl.when(iq == pl.num_programs(3) - 1)
@@ -1298,7 +1321,7 @@ def _bwd_merged_kernel(
     dv_scr[:] += _bdot(doT, p.astype(doT.dtype), ((2,), (1,)))
     # dp[a, j] = sum_d doT[d, a] vT[d, j]    (both contract sublanes)
     dp = _bdot(doT, vT, ((1,), (1,)))
-    ds = ((p * (dp - d_row)) * scale).astype(q.dtype)
+    ds = _scaled(p * (dp - d_row), scale).astype(q.dtype)
     # dkT[d, j] += sum_a qT[d, a] ds[a, j]   (native)
     dk_scr[:] += _bdot(qT, ds, ((2,), (1,)))
     # dq[a, d] = sum_j ds[a, j] kT[d, j]     (A @ B^T)
@@ -1511,6 +1534,9 @@ def _flash_bwd_impl(q, k, v, e, causal, pad_keys, out, lse, g,
     already-padded residuals instead."""
     bq = bq or BLOCK_Q
     bk = bk or BLOCK_K
+    # mirror _flash_fwd_impl: the saved-residual contract is a PRE-SCALED
+    # qf (kernels run scale-free, see _scaled)
+    q = q * jnp.asarray(1.0 / math.sqrt(q.shape[-1]), q.dtype)
     qf, kf, vf, e_pad, pk, Tp, pad_t, t_pad = _prepare_T(
         q, k, v, e, causal, pad_keys, bq, bk
     )
@@ -1543,10 +1569,14 @@ def _flash_bwd_from_saved(qf, kf, vf, pk, outf, e, causal, lse, g, T,
         dof.astype(jnp.float32) * outf.astype(jnp.float32), axis=2
     )[:, :, None, :]  # [B, H, 1, Tp]
 
+    # qf was pre-scaled by c = 1/sqrt(dh) in the forward, so the kernels
+    # run scale-free (see _scaled): dk = qf @ dL/du and dE = dsd^T @ qf
+    # carry the c factor exactly; only dq needs the c post-multiply below.
     common = dict(
         bq=bq, bk=bk, max_seq=max_seq + pad_t,
-        scale=1.0 / math.sqrt(dh), causal=causal,
+        scale=1.0, causal=causal,
     )
+    dq_scale = jnp.float32(1.0 / math.sqrt(dh))
     if BWD_IMPL == "merged":
         dk, dv, dq, de_pad = _bwd_merged_call(
             qf, kf, vf, dof, lse, dsum, e_pad, pk, common, bq, bk, hpb, Tp
@@ -1580,7 +1610,9 @@ def _flash_bwd_from_saved(qf, kf, vf, pk, outf, e, causal, lse, g, T,
                 hpb, Tp
             )
         cut = lambda x, dt: x[:, :, :T, :].astype(dt)
-    dq = cut(dq, qf.dtype)
+    # the one backward fixup the pre-scaled-q scheme needs (fuses into
+    # cut's slice/transpose fusion)
+    dq = cut(dq.astype(jnp.float32) * dq_scale, qf.dtype)
     dk = cut(dk, kf.dtype)
     dv = cut(dv, vf.dtype)
     # de: drop the front (pad_t) and tail padding rows
@@ -1631,10 +1663,12 @@ def _bwd(causal, residuals, g):
 
     if os.environ.get("MIDI_EMOTION_FLASH_BWD", "pallas") == "xla":
         # debug path: recover the unpadded operands from the (time-on-
-        # lanes) residuals
+        # lanes) residuals; qf is PRE-SCALED by 1/sqrt(dh) (see _scaled),
+        # and _xla_reference applies its own scale, so undo it here
         q, k, v = (
             jnp.swapaxes(x, 2, 3)[:, :, :T, :] for x in (qf, kf, vf)
         )
+        q = q * jnp.asarray(math.sqrt(q.shape[-1]), q.dtype)
         pad_keys = pk[:, 0, :T].astype(bool)
         _, vjp = jax.vjp(
             lambda q_, k_, v_, e_: _xla_reference(q_, k_, v_, e_, causal, pad_keys),

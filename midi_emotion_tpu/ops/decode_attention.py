@@ -191,12 +191,16 @@ def _pick_blocks(B: int, W: int, D2: int, itemsize: int):
                 f"DECODE_ATTN_BLOCKS batch block bb={bb} must divide B={B}"
             )
         return bb, bw
-    # bb=8 with full-width blocks measured best end-to-end (20.65k vs
-    # 20.2k tok/s at B=64 over (16, 768)). bw MUST equal W: a partial tail
-    # block reads out of bounds, which crashed the TPU worker outright
-    # (bf16 cache, W=1408, bw=768); bw also has to stay a multiple of 128
-    # for the [.., 2H, bw] scales block -- W always is.
-    bb = B if B < 8 else 8
+    # bw MUST equal W: a partial tail block reads out of bounds, which
+    # crashed the TPU worker outright (bf16 cache, W=1408, bw=768); bw
+    # also has to stay a multiple of 128 for the [.., 2H, bw] scales
+    # block -- W always is.
+    # bb=8 with full-width blocks measured best up to B=64 (20.65k vs
+    # 17.7k at bb=16); at B=128 the wider bb=16 block halves the step
+    # count and wins (24.1k vs 23.4k tok/s end-to-end). Both swept with
+    # bw=W int8 at W=1408.
+    bb = 8 if B < 128 else 16
+    bb = min(bb, B)
     # keep double-buffered K|V blocks within ~3/4 of the VMEM budget
     while bb > 1 and 2 * bb * W * D2 * itemsize > 75e6:
         bb //= 2

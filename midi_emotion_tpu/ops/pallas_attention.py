@@ -44,6 +44,18 @@ NEG_INF = float(-1e30)  # avoids inf-inf NaNs inside the recurrence
 # 256 the same sweep is 16x fewer steps. Overridable per call.
 BLOCK_Q = 256
 BLOCK_K = 256
+# Per-kernel overrides (0 = inherit BLOCK_Q/BLOCK_K). The fwd and bwd
+# grids have different VMEM/FLOP tradeoffs: wider k-blocks cut the grid's
+# fixed per-step cost but recompute more masked diagonal cells and blow
+# up the bwd's band/dsp temporaries, so they are swept independently.
+# All block sizes in play must divide the padded length (padded_len uses
+# their lcm; 640-based choices keep Tp=1280 at the flagship T=1216).
+import os as _os_blk
+
+BLOCK_Q_FWD = int(_os_blk.environ.get("MIDI_EMOTION_BQ_FWD", "0"))
+BLOCK_K_FWD = int(_os_blk.environ.get("MIDI_EMOTION_BK_FWD", "0"))
+BLOCK_Q_BWD = int(_os_blk.environ.get("MIDI_EMOTION_BQ_BWD", "0"))
+BLOCK_K_BWD = int(_os_blk.environ.get("MIDI_EMOTION_BK_BWD", "0"))
 # Heads per grid step. At dh=48 a single (256, 256) block pair is ~0.1 us of
 # MXU work against ~4 us of per-grid-step overhead (measured: removing the
 # relative bias entirely still cost 13.3 of 18.8 ms/layer fwd) -- the grid,
@@ -79,13 +91,17 @@ BATCH_PER_BLOCK = {
 # Mosaic's default scoped-VMEM budget is 16 MB; v5e has 128 MB of physical
 # VMEM, and the head-batched blocks (band + roll temps + f32 score tiles)
 # legitimately need more. 64 MB leaves plenty for double-buffered DMA.
-VMEM_LIMIT = 64 * 1024 * 1024
+VMEM_LIMIT = int(
+    _os_blk.environ.get("MIDI_EMOTION_VMEM_MB", "64")
+) * 1024 * 1024
 # The dq/dE backward at bpb=2 x hpb=16 holds the band AND its unskew
 # temporary (2 x [32, 256, 512] f32 = 33.6 MB) plus the score/ds tiles --
 # measured 64.96 MB of scoped stack, just past the shared budget. Its
 # block inputs are ~5 MB total, so an 80 MB scoped budget still leaves
 # >40 MB for double-buffered DMA on the 128 MB part.
-VMEM_LIMIT_BWD = 80 * 1024 * 1024
+VMEM_LIMIT_BWD = int(
+    _os_blk.environ.get("MIDI_EMOTION_VMEM_BWD_MB", "80")
+) * 1024 * 1024
 
 # Trace-time ablation knob for perf experiments (scripts/perf_attn_kernels):
 #   "full"   -- correct Srel (band matmul + skew rolls)
@@ -127,6 +143,34 @@ DQDE_IMPL = _os.environ.get("MIDI_EMOTION_DQDE", "column")
 #   "fused"  -- the r2 two-kernel layout: dq/dE fused (with the
 #               2*log2(bq)-pass static unskew), dK/dV separate
 BWD_IMPL = _os.environ.get("MIDI_EMOTION_BWD", "merged")
+
+# Softmax exponent implementation (fwd p/alpha + every bwd recompute):
+#   "f32"  -- jnp.exp on the f32 scores (default)
+#   "bf16" -- exp on bf16-rounded (s - m): p is consumed bf16 by the PV
+#             dot anyway; halves the transcendental width if Mosaic has
+#             a native bf16 exp path
+#   "skip" -- p := s - m (WRONG numerics; perf ablation only)
+EXP_IMPL = _os.environ.get("MIDI_EMOTION_EXP", "f32")
+
+
+def _pexp(x):
+    """exp with the EXP_IMPL policy; returns f32."""
+    if EXP_IMPL == "bf16":
+        return jnp.exp(x.astype(jnp.bfloat16)).astype(jnp.float32)
+    if EXP_IMPL == "skip":  # ablation: no transcendental at all
+        return x
+    return jnp.exp(x)
+
+
+# MXU/VPU interleaving: split the kernel's batched-n axis into this many
+# INDEPENDENT chains and emit their ops interleaved (all chains' score
+# dots first, then per chain softmax + PV). In-train SREL ablations showed
+# the kernels' MXU and VPU tiers are fully ADDITIVE (removing the band dot
+# saved exactly its MXU-bound time; removing the skew saved exactly its
+# VPU time), i.e. the single dependence chain serializes the units; with
+# independent chains the hardware's async MXU queues can run one chain's
+# dots under another chain's softmax. 1 = the unsplit baseline.
+FWD_CHAINS = int(_os.environ.get("MIDI_EMOTION_FWD_CHAINS", "1"))
 
 
 def _dot(a, b, dims):
@@ -269,6 +313,7 @@ def _flash_kernel(
     m_scr,  # [bpb*hpb, bq, 1] f32
     l_scr,  # [bpb*hpb, bq, 1] f32
     acc_scr,  # [bpb*hpb, bq, dh] f32
+    q_scr,  # [bpb*hpb, bq, dh] model dtype -- cached q relayout (see below)
     *,
     bq: int,
     bk: int,
@@ -287,63 +332,85 @@ def _flash_kernel(
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        # ONLY q needs the rows-on-sublanes relayout (the band dot wants
+        # it); the q block is constant across this row's whole inner-ik
+        # sweep ("qk" grid order), so transpose it ONCE at row start
+        # instead of paying the VPU shuffle every grid step.
+        q_scr[:] = _load_T(q_ref)
 
     # every enumerated block pair is visible (_grid_maps skips the fully
     # masked ones), so the body runs unconditionally.
-    # ONLY q is transposed to rows-on-sublanes (the band dot needs it);
     # k and v stay in the loaded [n, dh, bl] layout and the dots contract
     # their lane axis directly (A @ B^T lowers natively on the MXU;
     # scripts/perf_tlayout.py --forms)
-    q = _load_T(q_ref)  # [n, bq, dh], model dtype (bf16 stays bf16)
+    q = q_scr[:]  # [n, bq, dh], model dtype (bf16 stays bf16)
     kT = k_ref[:].reshape(n, dh, bk)
     vT = v_ref[:].reshape(n, dh, bk)
 
-    # contraction dh: q on lanes, kT on sublanes -- the MXU-native pair
-    s = _bdot(q, kT, ((2,), (1,)))  # [n, bq, bk] f32
-
     a = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 1) + iq * bq
     b = jax.lax.broadcasted_iota(jnp.int32, (1, bq, bk), 2) + ik * bk
+    koff = pl.multiple_of(ik * bk, bk)
+    pad_rows = _pad_mask_rows(pad_ref, koff, bk, bpb, hpb)
+    e_slice = None
     if SREL_MODE != "off":
         # relative bias: contiguous E slice for this block-pair's
         # distances; the skew runs in the input dtype (bf16 halves its
         # VMEM traffic)
         start = max_seq - iq * bq + ik * bk - bq
         e_slice = e_ref[pl.ds(start, bq + bk), :].astype(q.dtype)
-        band = _dot(q, e_slice, ((2,), (1,)))
-        if SKEW_IMPL != "strided":
-            band = band.astype(q.dtype)  # halves static-roll traffic
-        if SREL_MODE == "full":
-            srel = _skew_band(band, bq, bk).astype(jnp.float32)
-        else:  # "noskew" ablation: wrong numerics, no rolls
-            srel = band[..., :bk].astype(jnp.float32)
-        if not causal:
-            # zero above the diagonal (j > i), matching the reference
-            # exactly -- this matters for the unmasked regression model.
-            # Causal runs skip the select: those positions get NEG_INF
-            # from the mask below, so the srel garbage there is dead.
-            srel = jnp.where(b <= a, srel, 0.0)
-        s = s + srel
 
-    s = _scaled(s, scale)
+    nc = FWD_CHAINS if (FWD_CHAINS > 0 and n % FWD_CHAINS == 0) else 1
+    nh = n // nc
+    csl = [slice(c * nh, (c + 1) * nh) for c in range(nc)]
 
-    koff = pl.multiple_of(ik * bk, bk)
-    masked = _pad_mask_rows(pad_ref, koff, bk, bpb, hpb)
-    if causal:
-        masked = masked | (b > a)
-    s = jnp.where(masked, NEG_INF, s)
+    # stage 1: ALL chains' score/band dots (MXU) issue back to back, so
+    # they can run under stage 2's softmax chains (see FWD_CHAINS)
+    ss, bands = [], []
+    for sl in csl:
+        # contraction dh: q on lanes, kT on sublanes -- MXU-native pair
+        ss.append(_bdot(q[sl], kT[sl], ((2,), (1,))))  # [nh, bq, bk] f32
+        if SREL_MODE != "off":
+            bands.append(_dot(q[sl], e_slice, ((2,), (1,))))
 
-    # online softmax
-    m_prev = m_scr[:]  # [n, bq, 1]
-    m_cur = jnp.max(s, axis=2, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # [n, bq, bk]
-    alpha = jnp.exp(m_prev - m_new)  # [n, bq, 1]
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
-    # p in the input dtype for the MXU; acc stays f32
-    acc_scr[:] = acc_scr[:] * alpha + _bdot(
-        p.astype(vT.dtype), vT, ((2,), (2,))
-    )
-    m_scr[:] = m_new
+    # stage 2: per chain skew + mask + online softmax (VPU) + PV (MXU)
+    for c, sl in enumerate(csl):
+        s = ss[c]
+        if SREL_MODE != "off":
+            band = bands[c]
+            if SKEW_IMPL != "strided":
+                band = band.astype(q.dtype)  # halves static-roll traffic
+            if SREL_MODE == "full":
+                srel = _skew_band(band, bq, bk).astype(jnp.float32)
+            else:  # "noskew" ablation: wrong numerics, no rolls
+                srel = band[..., :bk].astype(jnp.float32)
+            if not causal:
+                # zero above the diagonal (j > i), matching the reference
+                # exactly -- this matters for the unmasked regression
+                # model. Causal runs skip the select: those positions get
+                # NEG_INF from the mask below, so the srel garbage there
+                # is dead.
+                srel = jnp.where(b <= a, srel, 0.0)
+            s = s + srel
+
+        s = _scaled(s, scale)
+
+        masked = pad_rows[sl]  # [nh, 1, bk]
+        if causal:
+            masked = masked | (b > a)
+        s = jnp.where(masked, NEG_INF, s)
+
+        # online softmax
+        m_prev = m_scr[sl]  # [nh, bq, 1]
+        m_cur = jnp.max(s, axis=2, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = _pexp(s - m_new)  # [nh, bq, bk]
+        alpha = _pexp(m_prev - m_new)  # [nh, bq, 1]
+        l_scr[sl] = l_scr[sl] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        # p in the input dtype for the MXU; acc stays f32
+        acc_scr[sl] = acc_scr[sl] * alpha + _bdot(
+            p.astype(vT.dtype), vT[sl], ((2,), (2,))
+        )
+        m_scr[sl] = m_new
 
     @pl.when(smap_ref[3, t] == 1)
     def _finalize():
@@ -374,7 +441,12 @@ def padded_len(T: int) -> int:
     on the [B, H, T, dh] layout where dh=48 is HBM-padded to 128 lanes
     (2.7x the bytes of a pre-transpose [B, T, d_model] pad). The model's
     attention module does this when the pallas impl is selected."""
-    return _round_up(T, math.lcm(BLOCK_Q, BLOCK_K))
+    return _round_up(
+        T,
+        math.lcm(BLOCK_Q, BLOCK_K, BLOCK_Q_FWD or BLOCK_Q,
+                 BLOCK_K_FWD or BLOCK_K, BLOCK_Q_BWD or BLOCK_Q,
+                 BLOCK_K_BWD or BLOCK_K),
+    )
 
 
 @functools.lru_cache(maxsize=128)
@@ -506,6 +578,25 @@ def _prepare_T(q, k, v, e, causal, pad_keys, bq, bk):
     return (qt, kt, vt, e_pad, pk, Tp, pad_t, t_pad)
 
 
+def _auto_fwd_bk(T: int, bq: int) -> int:
+    """Forward k-block width: 640 when it costs no extra padding, else
+    BLOCK_K. Swept at the flagship shape (B=8, T=1216 -> Tp=1280): the
+    fwd grid's fixed per-step cost dominates its block math at dh=48, and
+    (bq=256, bk=640) at batch-per-block 1 cut the train step 159.0 ->
+    156.6 ms; (640, 256) fails to compile at the 64 MB scoped budget,
+    (640, 640) and (256, 1280) measured 161 ms, and bk=640 at bpb=2 needs
+    a 100 MB budget and still regresses (161.7). The backward keeps
+    (256, 256): its dsp/band temporaries and the bk x bk reversal dot
+    scale with bk and 640 there measured 183.6 ms (vs 156.6)."""
+    cand = 640
+    if (
+        T >= cand
+        and _round_up(T, math.lcm(bq, cand)) == _round_up(T, math.lcm(bq, BLOCK_K))
+    ):
+        return cand
+    return BLOCK_K
+
+
 def _heads_per_block(H: int) -> int:
     hpb = min(HEADS_PER_BLOCK, H)
     while H % hpb:
@@ -526,8 +617,8 @@ def _flash_fwd_impl(
     return_saved: bool = False,
 ):
     """q,k,v: [B,H,T,dh]; e: [max_seq, dh]; pad_keys: [B,T] bool or None."""
-    bq = bq or BLOCK_Q
-    bk = bk or BLOCK_K
+    bq = bq or BLOCK_Q_FWD or BLOCK_Q
+    bk = bk or BLOCK_K_FWD or _auto_fwd_bk(q.shape[2], bq)
     B, H, T, dh = q.shape
     max_seq = e.shape[0]
     # pre-scale q so the kernel runs scale-free (see _scaled); the
@@ -538,6 +629,10 @@ def _flash_fwd_impl(
     )
     hpb = _heads_per_block(H)
     bpb = _batch_per_block(B, "fwd")
+    if bk > BLOCK_K:
+        # wide k-blocks already fill the step; doubling the batch per
+        # block on top blows the scoped-VMEM budget (see _auto_fwd_bk)
+        bpb = 1
 
     smap = jnp.asarray(_grid_maps(Tp // bq, Tp // bk, bq, bk, causal, "qk"))
     V = smap.shape[1]
@@ -576,6 +671,7 @@ def _flash_fwd_impl(
             pltpu.VMEM((bpb * hpb, bq, 1), jnp.float32),
             pltpu.VMEM((bpb * hpb, bq, 1), jnp.float32),
             pltpu.VMEM((bpb * hpb, bq, dh), jnp.float32),
+            pltpu.VMEM((bpb * hpb, bq, dh), qf.dtype),
         ],
     )
     outf, lse = pl.pallas_call(
@@ -638,7 +734,7 @@ def _recompute_block(q, k, e_ref, lse_row, pad_mask, iq, ik, bq, bk, max_seq,
     if causal:
         masked = masked | (b > a)
     s = jnp.where(masked, NEG_INF, s)
-    p = jnp.exp(s - lse_row)  # [n, bq, bk]; exactly 0 on masked rows
+    p = _pexp(s - lse_row)  # [n, bq, bk]; exactly 0 on masked rows
     return p, e_slice, a, b, start
 
 
@@ -795,7 +891,7 @@ def _bwd_dq_de_dist_kernel(
         s_d = _scaled(qkd + srel_d, scale)
         if causal:
             s_d = jnp.where(dist < 0, NEG_INF, s_d)
-        p_d = jnp.exp(s_d - lse_row)  # [hpb, bq, L]
+        p_d = _pexp(s_d - lse_row)  # [hpb, bq, L]
         dpp = _bdot(do, vr, ((2,), (2,)))  # [hpb, bq, bk]
         dpp = jnp.concatenate(
             [dpp, jnp.zeros((hpb, bq, bq), jnp.float32)], axis=-1
@@ -1019,7 +1115,7 @@ def _bwd_de_dqrel_kernel(
     s_d = _scaled(qkd + srel_d, scale)
     if causal:
         s_d = jnp.where(dist < 0, NEG_INF, s_d)
-    p_d = jnp.exp(s_d - lse_row)  # [hpb, bq, L]
+    p_d = _pexp(s_d - lse_row)  # [hpb, bq, L]
     dpp = _bdot(do, vr, ((2,), (2,)))  # [hpb, bq, bk]
     dpp = jnp.concatenate(
         [dpp, jnp.zeros((hpb, bq, bq), jnp.float32)], axis=-1
@@ -1553,9 +1649,11 @@ def _flash_bwd_from_saved(qf, kf, vf, pk, outf, e, causal, lse, g, T,
     T -> Tp pad. The default ("merged") kernel consumes and produces the
     kernel layout natively; the legacy decompositions get XLA-transposed
     views (they are env-knob experiment paths)."""
-    bq = bq or BLOCK_Q
-    bk = bk or BLOCK_K
+    bq = bq or BLOCK_Q_BWD or BLOCK_Q
+    bk = bk or BLOCK_K_BWD or BLOCK_K
     B, H, dh, Tp = qf.shape
+    assert Tp % bq == 0 and Tp % bk == 0, (
+        "bwd blocks must divide the fwd-padded length", Tp, bq, bk)
     pad_t = Tp - T
     max_seq = e.shape[0]
     e_pad = jnp.pad(e.astype(jnp.float32), ((pad_t, 0), (0, 0)))

@@ -199,3 +199,34 @@ def test_flash_rectangular_blocks(bq, bk):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(gg[0]), np.asarray(gw[0]), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gg[1]), np.asarray(gw[1]), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_fwd_bwd_different_blocks(monkeypatch):
+    """The fwd grid may run wider k-blocks than the bwd (the shipped
+    default at the flagship shape is fwd (256, 640) / bwd (256, 256), see
+    pallas_attention._auto_fwd_bk): the bwd consumes the fwd's padded
+    residuals, so its blocks must divide the fwd's Tp and the grads must
+    still match the XLA closed form."""
+    B, H, T, dh, max_seq = 1, 2, 320, 16, 512
+    q, k, v = _rand((B, H, T, dh), 0), _rand((B, H, T, dh), 1), _rand((B, H, T, dh), 2)
+    e = _rand((max_seq, dh), 3)
+
+    def loss_ref(q, k, v, e):
+        return (relative_attention(q, k, v, e, True, None, "xla") ** 2).sum()
+
+    gw = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, e)
+
+    monkeypatch.setattr(pallas_attention, "BLOCK_Q", 64)
+    monkeypatch.setattr(pallas_attention, "BLOCK_K", 64)
+    monkeypatch.setattr(pallas_attention, "BLOCK_K_FWD", 160)  # fwd Tp=320
+    with pltpu.force_tpu_interpret_mode():
+        def loss_flash(q, k, v, e):
+            return (
+                pallas_attention.flash_relative_attention(q, k, v, e, True, None)
+                ** 2
+            ).sum()
+
+        gg = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, e)
+    for got, want in zip(gg, gw):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)

@@ -172,6 +172,68 @@ def _pexp(x):
 # dots under another chain's softmax. 1 = the unsplit baseline.
 FWD_CHAINS = int(_os.environ.get("MIDI_EMOTION_FWD_CHAINS", "1"))
 
+# ---------------------------------------------------------------------------
+# Env-knob validation. A typo'd string knob must NOT silently select a
+# fallback branch (MIDI_EMOTION_BWD=mergd would otherwise run the legacy
+# "fused" path), and malformed numeric knobs must fail HERE with the knob
+# name instead of deep inside Mosaic -- mis-sized blocks reach the TPU as
+# out-of-bounds DMAs, the same crash-the-worker class the decode kernel's
+# block guard closes (ops/decode_attention.py).
+_STRING_KNOBS = {
+    "MIDI_EMOTION_SKEW": (SKEW_IMPL, ("strided", "static")),
+    "MIDI_EMOTION_DQDE": (DQDE_IMPL, ("column", "dist")),
+    "MIDI_EMOTION_BWD": (BWD_IMPL, ("merged", "split", "fused")),
+    "MIDI_EMOTION_EXP": (EXP_IMPL, ("f32", "bf16", "skip")),
+}
+
+
+def _validate_knobs() -> None:
+    for name, (value, allowed) in _STRING_KNOBS.items():
+        if value not in allowed:
+            raise ValueError(
+                f"{name}={value!r}: must be one of {allowed}"
+            )
+    for name, value in (
+        ("MIDI_EMOTION_BQ_FWD", BLOCK_Q_FWD),
+        ("MIDI_EMOTION_BK_FWD", BLOCK_K_FWD),
+        ("MIDI_EMOTION_BQ_BWD", BLOCK_Q_BWD),
+        ("MIDI_EMOTION_BK_BWD", BLOCK_K_BWD),
+    ):
+        # 0 = inherit the defaults; otherwise the block lands on the lane
+        # axis of the kernel operands, so it must be a positive multiple
+        # of the 128-lane tile
+        if value and (value < 0 or value % 128):
+            raise ValueError(
+                f"{name}={value}: block sizes must be positive multiples "
+                f"of 128 (or 0 to inherit)"
+            )
+    for kind, value in BATCH_PER_BLOCK.items():
+        if not 1 <= value <= 64:
+            raise ValueError(
+                f"MIDI_EMOTION_BPB_{kind.upper()}={value}: batch rows per "
+                f"grid step must be in [1, 64]"
+            )
+    for name, value in (
+        ("MIDI_EMOTION_VMEM_MB", VMEM_LIMIT // (1024 * 1024)),
+        ("MIDI_EMOTION_VMEM_BWD_MB", VMEM_LIMIT_BWD // (1024 * 1024)),
+    ):
+        # v5e has 128 MB of physical VMEM; a scoped budget beyond it (or
+        # non-positive) is a guaranteed Mosaic failure
+        if not 1 <= value <= 128:
+            raise ValueError(f"{name}={value}: must be in [1, 128] (MB)")
+    if FWD_CHAINS < 1:
+        raise ValueError(
+            f"MIDI_EMOTION_FWD_CHAINS={FWD_CHAINS}: must be >= 1"
+        )
+    flash_bwd = _os.environ.get("MIDI_EMOTION_FLASH_BWD", "pallas")
+    if flash_bwd not in ("pallas", "xla"):
+        raise ValueError(
+            f"MIDI_EMOTION_FLASH_BWD={flash_bwd!r}: must be 'pallas' or 'xla'"
+        )
+
+
+_validate_knobs()
+
 
 def _dot(a, b, dims):
     """dot_general in the INPUT dtype with f32 accumulation: bf16 inputs
@@ -1759,7 +1821,12 @@ def _bwd(causal, residuals, g):
     qf, kf, vf, pk, outf, e, lse, T = residuals
     import os
 
-    if os.environ.get("MIDI_EMOTION_FLASH_BWD", "pallas") == "xla":
+    flash_bwd = os.environ.get("MIDI_EMOTION_FLASH_BWD", "pallas")
+    if flash_bwd not in ("pallas", "xla"):  # read per-call: re-validate
+        raise ValueError(
+            f"MIDI_EMOTION_FLASH_BWD={flash_bwd!r}: must be 'pallas' or 'xla'"
+        )
+    if flash_bwd == "xla":
         # debug path: recover the unpadded operands from the (time-on-
         # lanes) residuals; qf is PRE-SCALED by 1/sqrt(dh) (see _scaled),
         # and _xla_reference applies its own scale, so undo it here

@@ -163,6 +163,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # On-chip kernel checks FIRST (VERDICT r3 item 4): the fused-dropout
+    # hardware-PRNG assertions and a flash fwd/bwd spot-check cannot run on
+    # CPU (interpreted pltpu.prng_random_bits returns zeros), so bench.py --
+    # the one script guaranteed to run solo on the real chip every round --
+    # records their pass/fail tally in the driver-visible JSON.
+    kernel_checks = {}
+    if not args.quick and jax.default_backend() != "cpu":
+        from scripts.tpu_kernel_checks import run_checks
+
+        kernel_checks = run_checks()
+
     from midi_emotion_tpu.models.config import ModelConfig
     from midi_emotion_tpu.models.model import MusicTransformer, init_params
     from midi_emotion_tpu.ops.sampling import SamplingParams
@@ -334,6 +345,7 @@ def main():
         "CPU batch-scale ratio measured at T=256 only; the quadratic fit "
         "extrapolates it to T<=1216 (see BASELINE_CPU.json)"
     )
+    result.update(kernel_checks)
     print(json.dumps(result))
 
 

@@ -111,12 +111,12 @@ def main():
         decode_attn_cached, expand_e_rows,
     )
 
-    e_table = params["enc_layers_0"]["rga"]["e_table"]
+    e_table = params["enc_layers_0"]["rga"]["E"]
     kv8, sc = cache["kv"], cache["sc"]
     length = cache["length"]
 
     @jax.jit
-    def kernel_only(q0, kv8, sc, length, steps):
+    def kernel_only(q0, kv8, sc, length):
         e_rows = expand_e_rows(e_table.astype(jnp.bfloat16), length + 1, W)
 
         def one_layer(q, i):
@@ -129,11 +129,11 @@ def main():
             q, _ = jax.lax.scan(one_layer, q, jnp.arange(cfg.n_layer))
             return q, None
 
-        q, _ = jax.lax.scan(step_body, q0, None, length=steps)
+        q, _ = jax.lax.scan(step_body, q0, None, length=N_STEPS)
         return q
 
     q0 = jnp.asarray(rng.randn(B, cfg.n_head, cfg.d_head), jnp.bfloat16)
-    kfn = lambda: kernel_only(q0, kv8, sc, length, N_STEPS)
+    kfn = lambda: kernel_only(q0, kv8, sc, length)
     kfn()
     best = float("inf")
     for _ in range(3):
@@ -148,41 +148,47 @@ def main():
           f"({bytes_step/1e9:.3f} GB/step)")
 
     # ---- 3. dense step with attention stubbed ----
+    # (skipped when tight on HBM: a second compiled scan + donated-cache
+    # copies OOM at B=128; dense ~= full - kernel)
+    import gc
     import midi_emotion_tpu.ops.decode_attention as da
-    import midi_emotion_tpu.models.model as model_mod
 
-    real = da.decode_attn_cached
+    dense_ms = full_ms - kern_ms
+    if B <= 64:
+        real = da.decode_attn_cached
 
-    def stub(q_t, kv8, sc, layer, e_rows, length):
-        Bq, H, dh = q_t.shape
-        acc = jnp.zeros((Bq, H * dh), jnp.float32) + q_t.reshape(Bq, -1)
-        m = jnp.zeros((Bq, H), jnp.float32)
-        l = jnp.ones((Bq, H), jnp.float32)
-        return acc, m, l
+        def stub(q_t, kv8, sc, layer, e_rows, length):
+            Bq, H, dh = q_t.shape
+            acc = jnp.zeros((Bq, H * dh), jnp.float32) + q_t.reshape(Bq, -1)
+            m = jnp.zeros((Bq, H), jnp.float32)
+            l = jnp.ones((Bq, H), jnp.float32)
+            return acc, m, l
 
-    # decode_q imports decode_attn_cached at call time from the module
-    da.decode_attn_cached = stub
-    try:
-        sampler2 = Sampler(model, params, DEFAULT_VOCAB, sp, kv_dtype="int8")
-        scan2 = sampler2._scan_core(N_STEPS, W, False)
+        # decode_q imports decode_attn_cached at call time from the module
+        da.decode_attn_cached = stub
+        try:
+            sampler2 = Sampler(model, params, DEFAULT_VOCAB, sp, kv_dtype="int8")
+            scan2 = sampler2._scan_core(N_STEPS, W, False)
 
-        def run_stub(c):
-            toks, *_ = scan2(params, c, logits, temp_key, counts, uniforms,
-                             cond_seq, ce)
-            return toks
+            def run_stub(c):
+                toks, *_ = scan2(params, c, logits, temp_key, counts, uniforms,
+                                 cond_seq, ce)
+                return toks
 
-        c1 = fresh_cache()
-        run_stub(c1)
-        best = float("inf")
-        for _ in range(3):
             c1 = fresh_cache()
-            t0 = time.time()
-            jax.device_get(run_stub(c1))
-            best = min(best, time.time() - t0)
-        dense_ms = best * 1000 / N_STEPS
-        print(f"{'3. step with attention stubbed':44s} {best*1000:8.2f} ms total  {dense_ms:7.3f} ms/step")
-    finally:
-        da.decode_attn_cached = real
+            run_stub(c1)
+            best = float("inf")
+            for _ in range(3):
+                c1 = fresh_cache()
+                t0 = time.time()
+                jax.device_get(run_stub(c1))
+                best = min(best, time.time() - t0)
+            dense_ms = best * 1000 / N_STEPS
+            print(f"{'3. step with attention stubbed':44s} {best*1000:8.2f} ms total  {dense_ms:7.3f} ms/step")
+            del c1, scan2, sampler2
+            gc.collect()
+        finally:
+            da.decode_attn_cached = real
 
     # ---- 4. sampling alone ----
     @jax.jit

@@ -1,0 +1,228 @@
+"""Bytes-and-tile-cycles roofline for the flash attention kernels
+(VERDICT r3 item 2).
+
+For the forward and merged-backward kernels at the flagship shape this
+computes, from the kernel structure (ops/pallas_attention.py):
+
+  * MXU floor: per-grid-step tile-cycles -- each (K-tile, N-tile) pass of a
+    dot streams M rows, so a dot costs ceil(K/128) * ceil(N/128) * M
+    "tile-cycles"; dh=48 contractions pay ceil(48/128)=1 like K=128 (the
+    array is underutilized in DEPTH, which burns FLOP efficiency but not
+    time). The tile-cycle -> seconds rate is CALIBRATED on-device from a
+    dense bf16 matmul rather than assumed.
+  * HBM floor: block DMA bytes per grid step (q on row-start only, k/v/do
+    per step, outputs on row-end) at the measured dense-copy bandwidth.
+  * VPU estimate: elementwise f32 element-ops per step at an assumed
+    4096 elems/cycle (printed as context, not a hard floor).
+
+and compares each floor against the MEASURED kernel time, giving a
+defensible headroom number for "rga = 97 ms of 159.9". Run SOLO on TPU.
+"""
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midi_emotion_tpu.ops import pallas_attention as pa
+
+B, H, T, dh, LAYERS = 8, 16, 1216, 48, 20
+MAX_SEQ = 2048
+
+
+def ceil(a, b):
+    return -(-a // b)
+
+
+def dot_cycles(M, K, N):
+    return ceil(K, 128) * ceil(N, 128) * M
+
+
+def fwd_model(Tp, bq, bk, n):
+    """Per-LAYER tile-cycles / bytes / vpu elems for the fwd kernel."""
+    nq, nk = Tp // bq, Tp // bk
+    pairs = []
+    for iq in range(nq):
+        last = min(nk - 1, (iq * bq + bq - 1) // bk)
+        pairs += [(iq, ik) for ik in range(last + 1)]
+    V = len(pairs)
+    rows = nq  # q-block rows (q DMA'd once per row)
+    grid = B * (H // n * 0 + 1) * V  # hpb = H -> one h-step
+    L = bq + bk
+    per_step = (
+        n * dot_cycles(bq, dh, bk)        # qk
+        + n * dot_cycles(bq, dh, L)       # band
+        + n * dot_cycles(bq, bk, dh)      # pv
+    )
+    cycles = B * V * per_step
+    bytes_ = B * (
+        rows * n * bq * dh * 2            # q blocks (once per row)
+        + V * 2 * n * bk * dh * 2         # k, v per step
+        + rows * n * bq * dh * 2          # out blocks
+        + V * L * dh * 4                  # e slice (f32)
+    )
+    vpu = B * V * n * (
+        bq * L * 2        # band skew (rotate + slice)
+        + bq * bk * 5     # mask, exp, sub, sum, weight
+        + bq * dh * 2     # acc update
+    )
+    return dict(cycles=cycles, bytes=bytes_, vpu=vpu, grid=B * V, V=V)
+
+
+def bwd_merged_model(Tp, bq, bk, n):
+    nq, nk = Tp // bq, Tp // bk
+    pairs = []
+    for ik in range(nk):
+        start = (ik * bk) // bq
+        pairs += [(ik, iq) for iq in range(start, nq)]
+    V = len(pairs)
+    L = bq + bk
+    per_step = n * (
+        dot_cycles(bq, dh, bk)      # recompute qk
+        + dot_cycles(bq, dh, L)     # recompute band
+        + dot_cycles(dh, bq, bk)    # dv  (M = dh!)
+        + dot_cycles(bq, dh, bk)    # dp
+        + dot_cycles(dh, bq, bk)    # dk
+        + dot_cycles(bq, bk, dh)    # dq_qk
+        + dot_cycles(bq, bk, bk)    # dsr reversal (anti-identity dot)
+        + dot_cycles(bq, L, dh)     # dq_rel
+        + dot_cycles(L, bq, dh)     # de
+    )
+    cycles = B * V * per_step
+    bytes_ = B * (
+        V * n * (bq + 2 * bk + bq) * dh * 2   # q, k, v, do blocks per step
+        + nk * 2 * n * bk * dh * 2            # dk, dv out (once per k-row)
+        + n * Tp * dh * 2                     # dq out (once at end)
+        + V * (L * dh * 4 * 2)                # e + er slices
+    )
+    vpu = B * V * n * (
+        bq * L * 2          # band skew
+        + bq * bk * 8       # exp, ds, masks, dsd roll/select
+        + bq * L * 2        # dsd pad+roll traffic
+    )
+    return dict(cycles=cycles, bytes=bytes_, vpu=vpu, grid=B * V, V=V)
+
+
+def measure_peak():
+    """Calibrate tile-cycle rate + HBM copy bandwidth."""
+    M = 8192
+    a = jax.random.normal(jax.random.PRNGKey(0), (M, M), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (M, M), jnp.bfloat16)
+    f = jax.jit(lambda a, b: (a @ b).astype(jnp.float32).sum())
+    jax.device_get(f(a, b))
+    best = float("inf")
+    for i in range(3):
+        a2 = a + jnp.bfloat16(i)
+        t0 = time.time()
+        jax.device_get(f(a2, b))
+        best = min(best, time.time() - t0)
+    tcyc = ceil(M, 128) * ceil(M, 128) * M  # tile-cycles of the dense dot
+    rate = tcyc / best  # tile-cycles / s
+    tflops = 2 * M**3 / best / 1e12
+    # HBM: big bf16 copy (read+write)
+    c = jax.random.normal(jax.random.PRNGKey(2), (1024, 1024, 1024), jnp.bfloat16)
+    g = jax.jit(lambda x: x * jnp.bfloat16(1.0000001))
+    jax.device_get(g(c)[0, 0, 0])
+    best_c = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        jax.device_get(g(c)[0, 0, 0])
+        best_c = min(best_c, time.time() - t0)
+    gbps = 2 * c.size * 2 / best_c / 1e9  # read + write
+    return rate, tflops, gbps
+
+
+def measure_kernels():
+    """Measured fwd / fwd+bwd time per train step for the 20-layer stack
+    of JUST the attention kernels (chained, so sequential like the real
+    step)."""
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    q = jax.random.normal(ks[0], (B, H, T, dh), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, H, T, dh), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, H, T, dh), jnp.bfloat16)
+    e = jax.random.normal(ks[3], (MAX_SEQ, dh), jnp.float32)
+    g = jax.random.normal(ks[4], (B, H, T, dh), jnp.bfloat16)
+
+    def chain_fwd(q):
+        x = q
+        for _ in range(LAYERS):
+            x = pa.flash_relative_attention(x.astype(jnp.bfloat16), k, v, e, True).astype(
+                jnp.bfloat16
+            )
+        return x.astype(jnp.float32).sum()
+
+    def chain_bwd(q):
+        return jax.grad(chain_fwd)(q).astype(jnp.float32).sum()
+
+    jf = jax.jit(chain_fwd)
+    jb = jax.jit(lambda q: jax.grad(chain_fwd)(q))
+    jax.device_get(jf(q))
+    t_f = float("inf")
+    for i in range(3):
+        q2 = q + jnp.bfloat16(i * 1e-3)
+        t0 = time.time()
+        jax.device_get(jf(q2))
+        t_f = min(t_f, time.time() - t0)
+    jax.device_get(jb(q)[0, 0, 0, 0])
+    t_fb = float("inf")
+    for i in range(3):
+        q2 = q + jnp.bfloat16(i * 1e-3)
+        t0 = time.time()
+        jax.device_get(jb(q2)[0, 0, 0, 0])
+        t_fb = min(t_fb, time.time() - t0)
+    return t_f, t_fb
+
+
+def main():
+    bq_f = pa.BLOCK_Q_FWD or pa.BLOCK_Q
+    bk_f = pa.BLOCK_K_FWD or pa._auto_fwd_bk(T, bq_f)
+    bq_b = pa.BLOCK_Q_BWD or pa.BLOCK_Q
+    bk_b = pa.BLOCK_K_BWD or pa.BLOCK_K
+    Tp = pa.padded_len(T)
+    n = pa._heads_per_block(H)  # heads per step (bpb=1 at bk=640)
+
+    fm = fwd_model(Tp, bq_f, bk_f, n)
+    bm = bwd_merged_model(Tp, bq_b, bk_b, n)
+
+    rate, tflops, gbps = measure_peak()
+    print(f"calibration: dense matmul {tflops:.1f} TFLOPs "
+          f"({rate/1e9:.2f} G tile-cycles/s), copy {gbps:.0f} GB/s")
+
+    t_f, t_fb = measure_kernels()
+    t_b = t_fb - t_f
+    print(f"measured ({LAYERS} chained layers): fwd {t_f*1000:.1f} ms, "
+          f"fwd+bwd {t_fb*1000:.1f} ms -> bwd {t_b*1000:.1f} ms")
+
+    out = {}
+    for name, m, t_meas in (("fwd", fm, t_f), ("bwd_merged", bm, t_b)):
+        mxu_s = LAYERS * m["cycles"] / rate
+        hbm_s = LAYERS * m["bytes"] / (gbps * 1e9)
+        vpu_s = LAYERS * m["vpu"] / 4096 / 1.5e9  # rough VPU estimate
+        floor = max(mxu_s, hbm_s)
+        print(
+            f"{name:11s} grid={m['grid']}x{LAYERS}L  "
+            f"MXU floor {mxu_s*1000:6.1f} ms  HBM floor {hbm_s*1000:5.1f} ms  "
+            f"VPU est {vpu_s*1000:5.1f} ms  measured {t_meas*1000:6.1f} ms  "
+            f"headroom {t_meas/floor:4.2f}x"
+        )
+        out[name] = dict(
+            mxu_floor_ms=round(mxu_s * 1000, 2),
+            hbm_floor_ms=round(hbm_s * 1000, 2),
+            vpu_est_ms=round(vpu_s * 1000, 2),
+            measured_ms=round(t_meas * 1000, 2),
+            headroom=round(t_meas / floor, 2),
+            tile_cycles_per_step=m["cycles"],
+            bytes_per_step=m["bytes"],
+        )
+    out["calibration"] = dict(dense_tflops=round(tflops, 1),
+                              copy_gbps=round(gbps, 1))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,24 @@ computes, from the kernel structure (ops/pallas_attention.py):
 
 and compares each floor against the MEASURED kernel time, giving a
 defensible headroom number for "rga = 97 ms of 159.9". Run SOLO on TPU.
+
+RESULTS (2026-08-19, solo):
+  calibration: dense 8192^3 bf16 matmul = 100-107 TFLOPs STABLE across
+    trials (54% of the 197 nominal v5e peak -- the *achievable* MXU rate on
+    this tunnel chip; MFU-vs-197 numbers understate real utilization ~2x);
+    XLA elementwise copy 430-590 GB/s (the decode kernel's DMA hits 665).
+  fwd:  MXU floor ~27 ms/step (at the calibrated rate) vs ~35 ms profiled
+    in-step -> ~25% kernel headroom. (The chained measurement below reads
+    ~66 ms because the public API transposes operands per layer; in the
+    real model the projections emit the time-on-lanes layout directly, so
+    in-step profile numbers are the honest comparison.)
+  bwd (merged): MXU floor model ~71 ms vs ~62 ms profiled -- the model
+    OVERCOUNTS (some dot passes pipeline), i.e. the merged backward is AT
+    its MXU-structural floor. dh=48 depth underutilization is structural;
+    HBM (~9 ms) and VPU (~7 ms) floors are nowhere near binding.
+  Conclusion: <15% headroom in the backward kernel; the recoverable train
+  tiers are the fwd kernel (~8 ms) and the ~16 ms copies/pads tier OUTSIDE
+  the kernels (see scripts/profile_step.py).
 """
 
 import json
@@ -108,39 +126,60 @@ def bwd_merged_model(Tp, bq, bk, n):
     return dict(cycles=cycles, bytes=bytes_, vpu=vpu, grid=B * V, V=V)
 
 
+REPS = 8  # in-jit scan reps: amortizes the ~25 ms tunnel round-trip that
+          # wrecks single-dispatch timings on this platform
+
+
+def _timed_scan(body, init, consts=(), reps=REPS):
+    """best-of-3 of an in-jit `reps`-iteration scan; returns s/iter.
+
+    Big arrays the body needs must go in `consts` (passed as jit ARGS --
+    closure capture embeds them as HLO constants and the remote-compile
+    upload rejects >~100 MB programs with HTTP 413)."""
+    @jax.jit
+    def run(x, *cs):
+        def step(c, i):
+            return body(c, i, *cs), None
+        out, _ = jax.lax.scan(step, x, jnp.arange(reps))
+        return out
+    jax.device_get(jax.tree.leaves(run(init, *consts))[0].ravel()[0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        jax.device_get(jax.tree.leaves(run(init, *consts))[0].ravel()[0])
+        best = min(best, time.time() - t0)
+    return best / reps
+
+
 def measure_peak():
     """Calibrate tile-cycle rate + HBM copy bandwidth."""
     M = 8192
     a = jax.random.normal(jax.random.PRNGKey(0), (M, M), jnp.bfloat16)
     b = jax.random.normal(jax.random.PRNGKey(1), (M, M), jnp.bfloat16)
-    f = jax.jit(lambda a, b: (a @ b).astype(jnp.float32).sum())
-    jax.device_get(f(a, b))
-    best = float("inf")
-    for i in range(3):
-        a2 = a + jnp.bfloat16(i)
-        t0 = time.time()
-        jax.device_get(f(a2, b))
-        best = min(best, time.time() - t0)
+    # vary the operand per rep (memoization rule) but keep it cheap
+    t = _timed_scan(
+        lambda c, i, aa, bb: (c @ bb) * jnp.bfloat16(1e-4) + aa, a, (a, b)
+    )
     tcyc = ceil(M, 128) * ceil(M, 128) * M  # tile-cycles of the dense dot
-    rate = tcyc / best  # tile-cycles / s
-    tflops = 2 * M**3 / best / 1e12
+    rate = tcyc / t  # tile-cycles / s
+    tflops = 2 * M**3 / t / 1e12
     # HBM: big bf16 copy (read+write)
-    c = jax.random.normal(jax.random.PRNGKey(2), (1024, 1024, 1024), jnp.bfloat16)
-    g = jax.jit(lambda x: x * jnp.bfloat16(1.0000001))
-    jax.device_get(g(c)[0, 0, 0])
-    best_c = float("inf")
-    for i in range(3):
-        t0 = time.time()
-        jax.device_get(g(c)[0, 0, 0])
-        best_c = min(best_c, time.time() - t0)
-    gbps = 2 * c.size * 2 / best_c / 1e9  # read + write
+    c = jax.random.normal(jax.random.PRNGKey(2), (512, 1024, 1024), jnp.bfloat16)
+    t_c = _timed_scan(
+        lambda x, i: x * jnp.bfloat16(1.0000001), c
+    )
+    gbps = 2 * c.size * 2 / t_c / 1e9  # read + write
     return rate, tflops, gbps
+
+
+CHAIN = 4  # layers actually chained (compile cost); scaled to LAYERS
 
 
 def measure_kernels():
     """Measured fwd / fwd+bwd time per train step for the 20-layer stack
-    of JUST the attention kernels (chained, so sequential like the real
-    step)."""
+    of JUST the attention kernels (a CHAIN-layer chain, sequential like
+    the real step, scaled by LAYERS/CHAIN -- the 20-layer chained grad
+    takes >10 min to compile on this tunnel)."""
     ks = jax.random.split(jax.random.PRNGKey(0), 6)
     q = jax.random.normal(ks[0], (B, H, T, dh), jnp.bfloat16)
     k = jax.random.normal(ks[1], (B, H, T, dh), jnp.bfloat16)
@@ -148,34 +187,26 @@ def measure_kernels():
     e = jax.random.normal(ks[3], (MAX_SEQ, dh), jnp.float32)
     g = jax.random.normal(ks[4], (B, H, T, dh), jnp.bfloat16)
 
-    def chain_fwd(q):
+    def chain_fwd(q, k, v, e):
         x = q
-        for _ in range(LAYERS):
+        for _ in range(CHAIN):
             x = pa.flash_relative_attention(x.astype(jnp.bfloat16), k, v, e, True).astype(
                 jnp.bfloat16
             )
         return x.astype(jnp.float32).sum()
 
-    def chain_bwd(q):
-        return jax.grad(chain_fwd)(q).astype(jnp.float32).sum()
-
-    jf = jax.jit(chain_fwd)
-    jb = jax.jit(lambda q: jax.grad(chain_fwd)(q))
-    jax.device_get(jf(q))
-    t_f = float("inf")
-    for i in range(3):
-        q2 = q + jnp.bfloat16(i * 1e-3)
-        t0 = time.time()
-        jax.device_get(jf(q2))
-        t_f = min(t_f, time.time() - t0)
-    jax.device_get(jb(q)[0, 0, 0, 0])
-    t_fb = float("inf")
-    for i in range(3):
-        q2 = q + jnp.bfloat16(i * 1e-3)
-        t0 = time.time()
-        jax.device_get(jb(q2)[0, 0, 0, 0])
-        t_fb = min(t_fb, time.time() - t0)
-    return t_f, t_fb
+    # in-jit rep loop (see _timed_scan): vary q per rep via the carry
+    t_f = _timed_scan(
+        lambda c, i, k, v, e: c + (chain_fwd(c, k, v, e) * 1e-6).astype(jnp.bfloat16),
+        q, (k, v, e), reps=4,
+    )
+    t_fb = _timed_scan(
+        lambda c, i, k, v, e: c
+        + jax.grad(chain_fwd)(c, k, v, e).astype(jnp.bfloat16) * jnp.bfloat16(1e-6),
+        q, (k, v, e), reps=4,
+    )
+    scale = LAYERS / CHAIN
+    return t_f * scale, t_fb * scale
 
 
 def main():

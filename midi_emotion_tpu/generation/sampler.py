@@ -54,10 +54,32 @@ class Sampler:
         slide_hop: Optional[int] = None,
         cache_stage: int = 256,
         kv_dtype: str = "native",
+        stage_steps: Optional[int] = None,
     ):
         cfg = model.config
         assert not cfg.is_regression, "regression models cannot generate"
         assert kv_dtype in ("native", "int8", "bf16"), kv_dtype
+        # staged pending-row buffer depth for the stacked-cache paths
+        # (ops/decode_attention.py staging notes); 0 = legacy per-step
+        # append. Env knob so bench sweeps don't need code changes.
+        if stage_steps is None:
+            import os
+
+            raw = os.environ.get("MIDI_EMOTION_DECODE_STAGE", "8")
+            try:
+                stage_steps = int(raw)
+            except ValueError:
+                raise ValueError(
+                    f"MIDI_EMOTION_DECODE_STAGE={raw!r}: must be an integer "
+                    "(staged rows per flush; 0 disables staging)"
+                ) from None
+        if not 0 <= stage_steps <= 128:
+            raise ValueError(
+                f"stage_steps={stage_steps}: must be in [0, 128] (the "
+                "sampler's window slack only guarantees in-bounds flushes "
+                "for modest stage depths)"
+            )
+        self.stage_steps = stage_steps if kv_dtype != "native" else 0
         self.model = model
         self.params = params
         self.vocab = vocab
@@ -125,26 +147,25 @@ class Sampler:
             return cache
         grow = w_out - w_in
         key = ("pad", quant, w_in, w_out,
-               cache["kv"].shape if quant else cache["k"][0].shape)
+               cache["kv"].shape if quant else cache["k"][0].shape,
+               tuple(sorted(cache.keys())))
         if key not in self._jit_cache:
             # ONE dispatch for the whole pytree (per-leaf calls cost a
             # tunnel round-trip each). Transitions hold old+new
             # generations live (~2x); safe because generate() disables
             # staging when the full cache exceeds the threshold.
             if quant:
+                # pad kv (axis 2) / sc (axis 3); every other entry (length,
+                # legacy row/rsc, staged pend) is window-independent
                 def pad_all(c):
-                    out = {
-                        "kv": jnp.pad(
-                            c["kv"], ((0, 0), (0, 0), (0, grow), (0, 0))
-                        ),
-                        "row": c["row"],
-                        "length": c["length"],
-                    }
+                    out = dict(c)
+                    out["kv"] = jnp.pad(
+                        c["kv"], ((0, 0), (0, 0), (0, grow), (0, 0))
+                    )
                     if "sc" in c:
                         out["sc"] = jnp.pad(
                             c["sc"], ((0, 0), (0, 0), (0, 0), (0, grow))
                         )
-                        out["rsc"] = c["rsc"]
                     return out
             else:
                 def pad_all(c):
@@ -198,6 +219,124 @@ class Sampler:
                 body, init, (uniforms, cond_seq), length=n_steps
             )
             return tokens, logits, cache, counts
+
+        self._jit_cache[key] = run
+        return run
+
+    def _to_staged(self, cache, batch: int):
+        """Convert a prefill_q cache to the staged form: drop the legacy
+        pending-row buffers (the last prompt row is already IN kv at
+        position length-1) and allocate the step-major stage."""
+        if "pend" in cache:
+            return cache
+        S = self.stage_steps
+        L, B, W, D2 = cache["kv"].shape
+        out = {
+            "kv": cache["kv"],
+            "length": cache["length"],
+            "pend": jnp.zeros((S, L, B, D2), jnp.bfloat16),
+        }
+        if "sc" in cache:
+            out["sc"] = cache["sc"]
+        return out
+
+    def _scan_core_staged(self, n_steps: int, window: int, varying: bool):
+        """Staged-append variant of _scan_core (kv_dtype int8/bf16 only):
+        an outer scan over n_steps // S super-steps -- each an inner
+        S-step scan that never touches the main cache, followed by ONE
+        slab flush -- plus a flush-less remainder scan. Kills the
+        0.86 ms/step scattered-DUS append cost (ops/decode_attention.py
+        staging notes). Chunks whose cache is carried forward are sized
+        to a multiple of S by generate(), so carried caches are always
+        fully flushed (length == flushed rows)."""
+        S = self.stage_steps
+        key = ("scan_staged", n_steps, window, varying, self.kv_dtype, S)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        model, cfg, sampling = self.model, self.cfg, self.sampling
+        exclude_mask, ts_range = self.exclude_mask, self.ts_range
+        n_super, rem = divmod(n_steps, S)
+
+        from ..ops.decode_attention import flush_pend
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def run(params, cache, logits0, temp_key0, counts0, uniforms, cond_seq, ce):
+            variables = {"params": params}
+            step_ce = None if cfg.mode != "continuous_concat" else ce
+            quant = "sc" in cache
+
+            def run_inner(kv, sc, f_len, sm, u, cs, count):
+                """count decode steps against a FIXED flushed cache."""
+                def body(carry, xs):
+                    u_t, cond_t, p_idx = xs
+                    logits, pend, temp_key, counts = carry
+                    token, counts = sample_step(
+                        logits, temp_key, counts, u_t, exclude_mask,
+                        ts_range, sampling,
+                    )
+                    ce_t = step_ce
+                    if varying:
+                        ce_t = model.apply(
+                            variables, cond_t,
+                            method=MusicTransformer.condition_embedding,
+                        )
+                    new_logits, pend = model.apply(
+                        variables, token, ce_t, kv, sc, pend, f_len, p_idx,
+                        method=MusicTransformer.decode_step_staged,
+                    )
+                    return (new_logits, pend, token, counts), token
+
+                return jax.lax.scan(body, sm, (u, cs, jnp.arange(count)))
+
+            kv, sc = cache["kv"], cache.get("sc")
+            f_len = cache["length"]
+            pend = cache["pend"]
+            sm = (logits0, pend, temp_key0, counts0)
+            token_blocks = []
+
+            if n_super:
+                u_main = uniforms[: n_super * S].reshape(n_super, S, -1)
+                c_main = cond_seq[: n_super * S].reshape(
+                    n_super, S, *cond_seq.shape[1:]
+                )
+
+                def outer(carry, xs):
+                    kv, sc_c, f_len, sm = carry
+                    sc_in = sc_c if quant else None
+                    sm, tokens = run_inner(kv, sc_in, f_len, sm, *xs, S)
+                    kv, sc_out = flush_pend(
+                        kv, sc_in, sm[1], f_len, cfg.n_head
+                    )
+                    sc_c = sc_out if quant else jnp.zeros((), jnp.int8)
+                    return (kv, sc_c, f_len + S, sm), tokens
+
+                sc_c = sc if quant else jnp.zeros((), jnp.int8)
+                (kv, sc_c, f_len, sm), tokens = jax.lax.scan(
+                    outer, (kv, sc_c, f_len, sm), (u_main, c_main)
+                )
+                sc = sc_c if quant else None
+                token_blocks.append(tokens.reshape(n_super * S, -1))
+
+            if rem:
+                sm, tokens_r = run_inner(
+                    kv, sc, f_len, sm, uniforms[n_super * S :],
+                    cond_seq[n_super * S :], rem,
+                )
+                token_blocks.append(tokens_r)
+
+            logits, pend, _, counts = sm
+            new_cache = {
+                "kv": kv,
+                "length": f_len + rem,  # == f_len when rem == 0 (carried)
+                "pend": pend,
+            }
+            if quant:
+                new_cache["sc"] = sc
+            tokens = (
+                token_blocks[0] if len(token_blocks) == 1
+                else jnp.concatenate(token_blocks, axis=0)
+            )
+            return tokens, logits, new_cache, counts
 
         self._jit_cache[key] = run
         return run
@@ -512,6 +651,29 @@ class Sampler:
                 )
                 assert n_steps >= 1, (live, w_cur, cur_len, max_input_len)
 
+            # staged-append chunks that will carry their cache forward must
+            # be a multiple of the stage depth S, so the carried cache is
+            # always fully flushed (see _scan_core_staged). Chunks that end
+            # discarded (final chunk, window-slide refreshes) may keep a
+            # remainder in the stage.
+            discard_state = False
+            staged = self.stage_steps > 0 and self.kv_dtype != "native"
+            if staged:
+                S = self.stage_steps
+                will_carry = (
+                    song_len + n_steps <= max_input_len
+                    and steps_done + n_steps < n_total_steps
+                )
+                if will_carry and n_steps % S:
+                    trimmed = (n_steps // S) * S
+                    if trimmed == 0:
+                        # too few steps to complete a flush: run them and
+                        # re-prefill next chunk instead of carrying an
+                        # unflushed cache
+                        discard_state = True
+                    else:
+                        n_steps = trimmed
+
             u_chunk = jax.lax.dynamic_slice_in_dim(uniforms, steps_done, n_steps, 0)
             if varying:
                 # scan step j decodes the logits for reference iteration
@@ -522,8 +684,14 @@ class Sampler:
             else:
                 cond_seq = jnp.zeros((n_steps, B, 2), jnp.float32)
 
+            if staged:
+                cache = self._to_staged(cache, B)
             cache = self._grow_cache(cache, w_cur)
-            scan = self._scan_core(n_steps, w_cur, varying)
+            scan = (
+                self._scan_core_staged(n_steps, w_cur, varying)
+                if staged
+                else self._scan_core(n_steps, w_cur, varying)
+            )
             tokens, logits, cache, counts = scan(
                 self.params, cache, logits, temp_key, counts, u_chunk,
                 cond_seq, ce,
@@ -532,7 +700,7 @@ class Sampler:
             song_len += n_steps
             temp_key = tokens[-1]  # device slice, no host sync
             steps_done += n_steps
-            if song_len > max_input_len:
+            if song_len > max_input_len or discard_state:
                 state = None  # next chunk re-prefills (sliding)
             else:
                 state = (logits, cache, ce, w_cur)

@@ -196,6 +196,50 @@ class RelativeGlobalAttention(nn.Module):
         row8, rsc = quantize_rows(row[:, None, :], 2 * self.n_head)
         return self.fc(out), row8[:, 0], rsc[:, :, 0]
 
+    def decode_q_staged(
+        self,
+        x_t: jnp.ndarray,
+        kv8: jnp.ndarray,
+        sc,
+        pend: jnp.ndarray,  # [S, L, B, 2d] bf16 staged rows
+        layer_idx: int,
+        f_len,              # int32: rows FLUSHED into the stacked cache
+        p_cnt,              # int32: live staged rows (current pos = f+p)
+    ):
+        """decode_q against a cache whose last p_cnt rows are still in the
+        step-major staged buffer (ops/decode_attention.py staging notes):
+        kernel over the flushed rows + f32 tail over the staged rows +
+        exact self term. Returns (attn_out [B, d], bf16 row [B, 2d]) --
+        the caller appends the row to the stage; quantization happens at
+        flush time, not per step."""
+        from ..ops.decode_attention import (
+            decode_attn_cached, expand_e_rows, merge_self, merge_states,
+            tail_attention,
+        )
+
+        B = x_t.shape[0]
+        d = self.d_model
+        dh = d // self.n_head
+        S = pend.shape[0]
+        q = self.wq(x_t).reshape(B, self.n_head, dh)
+        k_t = self.wk(x_t)
+        v_t = self.wv(x_t)
+        e = self.e_table.astype(self.dtype)
+        length = f_len + p_cnt  # total attendable rows (excl. current)
+        e_rows = expand_e_rows(e, length + 1, kv8.shape[2])
+        acc, m, l = decode_attn_cached(q, kv8, sc, layer_idx, e_rows, f_len)
+        acc2, m2, l2 = tail_attention(
+            q,
+            pend[:, layer_idx, :, :d],
+            pend[:, layer_idx, :, d:],
+            expand_e_rows(e, p_cnt + 1, S),
+            p_cnt,
+        )
+        acc, m, l = merge_states(acc, m, l, acc2, m2, l2, self.n_head)
+        out = merge_self(acc, m, l, q, k_t, v_t, e[-1])
+        row = jnp.concatenate([k_t, v_t], axis=-1).astype(jnp.bfloat16)
+        return self.fc(out), row
+
 
 class EncoderLayer(nn.Module):
     """Post-LN block (music_multi.py:110-135): RGA -> dropout ->
@@ -266,6 +310,15 @@ class EncoderLayer(nn.Module):
         ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
         out2 = self.ln2(out1 + ffn)
         return out2, row8, rsc
+
+    def decode_q_staged(self, x_t, kv8, sc, pend, layer_idx, f_len, p_cnt):
+        attn, row = self.rga.decode_q_staged(
+            x_t, kv8, sc, pend, layer_idx, f_len, p_cnt
+        )
+        out1 = self.ln1(attn + x_t)
+        ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
+        out2 = self.ln2(out1 + ffn)
+        return out2, row
 
 
 class MusicTransformer(nn.Module):
@@ -533,6 +586,44 @@ class MusicTransformer(nn.Module):
             new_cache["sc"] = sc
             new_cache["rsc"] = jnp.stack(rscs)
         return logits, new_cache
+
+    def decode_step_staged(
+        self,
+        token_t: jnp.ndarray,
+        cond_emb: Optional[jnp.ndarray],
+        kv8: jnp.ndarray,
+        sc,                  # scales or None (bf16 stacked cache)
+        pend: jnp.ndarray,   # [S, L, B, 2d] bf16 staged rows
+        f_len,               # int32: rows flushed into kv8
+        p_cnt,               # int32: live staged rows
+    ):
+        """One token against the stacked cache WITHOUT touching it: the
+        kernel covers the f_len flushed rows, the staged tail rides XLA
+        (rga.decode_q_staged), and this step's new K|V rows land in the
+        step-major stage with ONE contiguous DUS (vs. decode_step_q's 2560
+        scattered descriptors/step -- ops/decode_attention.py staging
+        notes). The sampler flushes the stage every S steps (flush_pend).
+        Returns (logits, updated pend)."""
+        cfg = self.config
+        length = f_len + p_cnt
+        x = self.embedding(token_t)
+        if cfg.mode == "continuous_token":
+            x = x * math.sqrt(cfg.d_model)
+        else:
+            x = x * math.sqrt(cfg.embed_dim)
+            if cfg.effective_d_condition > 0:
+                x = jnp.concatenate([x, cond_emb], axis=-1)
+        pos_vec = self.pos_table[length].astype(x.dtype)
+        x = x + pos_vec[None, :]
+        rows = []
+        for i, layer in enumerate(self.enc_layers):
+            x, row_i = layer.decode_q_staged(x, kv8, sc, pend, i, f_len, p_cnt)
+            rows.append(row_i)
+        logits = self.fc(x)
+        pend = jax.lax.dynamic_update_slice(
+            pend, jnp.stack(rows)[None], (p_cnt, 0, 0, 0)
+        )
+        return logits, pend
 
     def decode_step(
         self,

@@ -350,6 +350,107 @@ def merge_self(
     return (out / expand(denom)).astype(v_t.dtype)
 
 
+# ---- staged pending-row buffer ---------------------------------------------
+#
+# The serving trace (scripts/perf_decode_profile.py, round 4) showed the
+# per-step deferred append -- a [L, B, 1, 2D] row DUS + a [L, B, 2H, 1]
+# scale-column DUS into the stacked cache -- costs 0.86 ms/step at B=128:
+# the writes scatter into L*B = 2560 DMA descriptors and descriptor COUNT,
+# not bytes, is what the step pays. Staging kills it: decoded rows append
+# into a small [S, L, B, 2D] bf16 buffer (step-major, so each append is ONE
+# contiguous 3.9 MB chunk), the query attends to the staged tail in XLA
+# (tail_attention below, merged into the kernel's unnormalized flash
+# triple), and every S steps the whole stage quantizes + lands in the main
+# cache with a single slab DUS pair -- the same 2560 descriptors, paid once
+# per S steps instead of every step.
+
+
+def tail_attention(
+    q_t: jnp.ndarray,      # [B, H, dh]
+    k_pend: jnp.ndarray,   # [S, B, D] staged keys (bf16, unquantized)
+    v_pend: jnp.ndarray,   # [S, B, D] staged values
+    e_tail: jnp.ndarray,   # [S, dh] relative rows: expand_e_rows(e, p+1, S)
+    p_cnt,                 # int32 scalar: live staged rows (0..S)
+):
+    """Unnormalized flash triple over the staged (not-yet-flushed) rows.
+
+    Same logit convention as the kernel: staged row s sits at absolute
+    window position F+s, so its relative row is E[ms-1-p+s] -- which is
+    exactly ``expand_e_rows(e, p_cnt+1, S)`` independent of F. Rows past
+    p_cnt are masked. Returns (acc [B, D] f32, m [B, H], l [B, H]);
+    combine with the kernel's triple via merge_states."""
+    B, H, dh = q_t.shape
+    S = k_pend.shape[0]
+    D = H * dh
+    # round operands to bf16 like the kernel's (bf16-cache) dots do, so the
+    # staged tail's numerics track the kernel path's: bf16 products, f32
+    # accumulation (the MXU convention)
+    qf = q_t.astype(jnp.bfloat16).astype(jnp.float32)
+    k4 = (
+        k_pend.reshape(S, B, H, dh).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    logits = (
+        jnp.einsum("bhd,sbhd->bhs", qf, k4)
+        + jnp.einsum(
+            "bhd,sd->bhs", qf,
+            e_tail.astype(jnp.bfloat16).astype(jnp.float32),
+        )
+    ) / math.sqrt(dh)  # [B, H, S]
+    live = (jnp.arange(S) < p_cnt)[None, None, :]
+    logits = jnp.where(live, logits, _NEG)
+    m = jnp.max(logits, axis=-1)  # [B, H] (== _NEG when p_cnt == 0)
+    p = jnp.where(live, jnp.exp(logits - m[..., None]), 0.0)
+    l = jnp.sum(p, axis=-1)
+    p16 = p.astype(jnp.bfloat16).astype(jnp.float32)
+    v4 = (
+        v_pend.reshape(S, B, H, dh).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    acc = jnp.einsum("bhs,sbhd->bhd", p16, v4)  # [B, H, dh]
+    return acc.reshape(B, D), m, l
+
+
+def merge_states(acc1, m1, l1, acc2, m2, l2, n_head: int):
+    """Combine two unnormalized flash triples (order-independent).
+
+    accs are [B, D] f32 with D = H*dh; m/l are [B, H]. An empty side
+    (m == _NEG, l == 0, acc == 0) merges as the identity: exp(_NEG - m)
+    underflows to 0 when the other side is live, and when BOTH are empty
+    the exp(0) = 1 factors multiply zero accs/ls harmlessly."""
+    B, D = acc1.shape
+    dh = D // n_head
+    m = jnp.maximum(m1, m2)
+    a1 = jnp.exp(m1 - m)
+    a2 = jnp.exp(m2 - m)
+    expand = lambda x: jnp.broadcast_to(
+        x[:, :, None], (B, n_head, dh)
+    ).reshape(B, D)
+    acc = acc1 * expand(a1) + acc2 * expand(a2)
+    l = l1 * a1 + l2 * a2
+    return acc, m, l
+
+
+def flush_pend(kv, sc, pend, f_len, n_head: int):
+    """Land S staged rows into the stacked cache at window position f_len.
+
+    pend: [S, L, B, 2D] bf16 (step-major). Quantizes (when the cache is
+    int8) and writes ONE [L, B, S, 2D] slab DUS (+ one [L, B, 2H, S]
+    scale slab). PRECONDITION: f_len + S <= W -- guaranteed by the
+    sampler's chunk sizing (it only flushes full super-steps, whose last
+    staged row sits at window position f_len + S - 1 < W); a clamped DUS
+    start would silently corrupt earlier rows."""
+    S, L, B, D2 = pend.shape
+    rows = jnp.transpose(pend, (1, 2, 0, 3))  # [L, B, S, 2D]
+    if sc is not None:
+        row8, rsc = quantize_rows(rows, 2 * n_head)  # [L,B,S,2D], [L,B,2H,S]
+        kv = jax.lax.dynamic_update_slice(kv, row8, (0, 0, f_len, 0))
+        sc = jax.lax.dynamic_update_slice(sc, rsc, (0, 0, 0, f_len))
+    else:
+        kv = jax.lax.dynamic_update_slice(
+            kv, rows.astype(kv.dtype), (0, 0, f_len, 0)
+        )
+    return kv, sc
+
+
 # ---- quantization helpers --------------------------------------------------
 def quantize_rows(t: jnp.ndarray, n_groups: int):
     """[..., T, C] -> (int8 values [..., T, C], scales [..., G, T] bf16).

@@ -316,3 +316,209 @@ def test_blocks_override_rejects_partial_tail():
         assert _pick_blocks(64, 1408, 1536, 1) == (8, 1408)
     finally:
         del os.environ["DECODE_ATTN_BLOCKS"]
+
+
+# ---- staged pending-row buffer (round-4 decode-append fix) -----------------
+
+
+def test_tail_attention_plus_self_matches_exact_decode():
+    """tail_attention over S staged rows + merge_self must reproduce
+    decode_rel_attention when the staged rows ARE the whole history: the
+    tail triple merged with an EMPTY main triple and the exact self term
+    is a complete (bf16-product) attention over rows 0..S-1 + self."""
+    from midi_emotion_tpu.ops.decode_attention import (
+        merge_states, tail_attention,
+    )
+
+    B, H, dh, S, MS = 2, 4, 48, 6, 512
+    D = H * dh
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (B, H, dh), jnp.float32)
+    kv_rows = jax.random.normal(ks[1], (S + 1, B, 2 * D), jnp.bfloat16)
+    e = jax.random.normal(ks[2], (MS, dh), jnp.float32)
+
+    k_all = kv_rows[:, :, :D].astype(jnp.float32).transpose(1, 0, 2)
+    v_all = kv_rows[:, :, D:].astype(jnp.float32).transpose(1, 0, 2)
+    n = jnp.asarray(S + 1, jnp.int32)  # history S rows + current token
+    ref = decode_rel_attention(q, k_all, v_all, e, n).reshape(B, D)
+
+    pend_k = kv_rows[:S, :, :D]
+    pend_v = kv_rows[:S, :, D:]
+    e_tail = expand_e_rows(e, jnp.asarray(S + 1, jnp.int32), S)
+    acc_t, m_t, l_t = tail_attention(q, pend_k, pend_v, e_tail, S)
+    # empty main side: the merge must treat it as the identity
+    empty = (
+        jnp.zeros((B, D), jnp.float32),
+        jnp.full((B, H), -1e30, jnp.float32),
+        jnp.zeros((B, H), jnp.float32),
+    )
+    acc, m, l = merge_states(*empty, acc_t, m_t, l_t, H)
+    out = merge_self(
+        acc, m, l, q, kv_rows[S, :, :D], kv_rows[S, :, D:], e[MS - 1]
+    )
+    out = np.asarray(out, np.float32)
+    ref = np.asarray(ref, np.float32)
+    err = np.abs(out - ref) / (np.abs(ref).max() + 1e-9)
+    # bf16 products in the tail vs f32 in the oracle
+    assert err.max() < 0.02, err.max()
+
+
+def test_tail_attention_masks_dead_rows():
+    """Rows >= p_cnt must not contribute, and p_cnt=0 must merge as the
+    identity."""
+    from midi_emotion_tpu.ops.decode_attention import (
+        merge_states, tail_attention,
+    )
+
+    B, H, dh, S, MS = 2, 2, 16, 4, 64
+    D = H * dh
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (B, H, dh), jnp.float32)
+    pend = jax.random.normal(ks[1], (S, B, 2 * D), jnp.bfloat16)
+    e = jax.random.normal(ks[2], (MS, dh), jnp.float32)
+    e_tail = expand_e_rows(e, jnp.asarray(3, jnp.int32), S)
+
+    # p_cnt=2: poisoning rows 2..S-1 must not change the result
+    a1 = tail_attention(q, pend[:, :, :D], pend[:, :, D:], e_tail, 2)
+    poisoned = pend.at[2:].set(jnp.bfloat16(1e4))
+    a2 = tail_attention(
+        q, poisoned[:, :, :D], poisoned[:, :, D:], e_tail, 2
+    )
+    for x, y in zip(a1, a2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # p_cnt=0 merged into a live triple is the identity
+    main = (
+        jax.random.normal(ks[0], (B, D), jnp.float32),
+        jax.random.normal(ks[1], (B, H), jnp.float32),
+        jax.random.uniform(ks[2], (B, H), jnp.float32) + 1.0,
+    )
+    t0 = tail_attention(q, pend[:, :, :D], pend[:, :, D:], e_tail, 0)
+    merged = merge_states(*main, *t0, H)
+    for x, y in zip(merged, main):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+
+
+def test_flush_pend_places_rows():
+    """flush_pend must land exactly quantize_rows' output at [f, f+S) and
+    touch nothing else (a clamped/misplaced DUS silently corrupts)."""
+    from midi_emotion_tpu.ops.decode_attention import flush_pend
+
+    S, L, B, D2, W, H = 3, 2, 2, 64, 16, 4
+    f = 5
+    pend = jax.random.normal(jax.random.PRNGKey(1), (S, L, B, D2), jnp.bfloat16)
+    kv0 = jnp.full((L, B, W, D2), jnp.int8(7))
+    sc0 = jnp.full((L, B, 2 * H, W), jnp.bfloat16(3.0))
+    kv, sc = flush_pend(kv0, sc0, pend, jnp.asarray(f, jnp.int32), H)
+    rows = jnp.transpose(pend, (1, 2, 0, 3))
+    want8, wantsc = quantize_rows(rows, 2 * H)
+    np.testing.assert_array_equal(np.asarray(kv[:, :, f:f + S]), np.asarray(want8))
+    np.testing.assert_array_equal(np.asarray(sc[:, :, :, f:f + S]), np.asarray(wantsc))
+    mask = np.ones(W, bool); mask[f:f + S] = False
+    assert (np.asarray(kv[:, :, mask]) == 7).all()
+    assert (np.asarray(sc[:, :, :, mask], np.float32) == 3.0).all()
+
+    # bf16 (unquantized) cache variant
+    kvb0 = jnp.full((L, B, W, D2), jnp.bfloat16(9.0))
+    kvb, scb = flush_pend(kvb0, None, pend, jnp.asarray(f, jnp.int32), H)
+    assert scb is None
+    np.testing.assert_array_equal(
+        np.asarray(kvb[:, :, f:f + S], np.float32),
+        np.asarray(rows, np.float32),
+    )
+    assert (np.asarray(kvb[:, :, mask], np.float32) == 9.0).all()
+
+
+def test_staged_step_logits_track_legacy():
+    """decode_step_staged (+ periodic flush_pend) must track decode_step_q
+    step for step within bf16/int8 numerics across flush boundaries."""
+    from midi_emotion_tpu.models.config import ModelConfig
+    from midi_emotion_tpu.models.model import MusicTransformer, init_params
+    from midi_emotion_tpu.ops.decode_attention import flush_pend
+
+    cfg = ModelConfig(
+        vocab_size=101, mode="continuous_concat", n_layer=2, n_head=2,
+        d_model=64, d_inner=128, d_condition=16, max_seq=128, dropout=0.0,
+    ).validate()
+    model = MusicTransformer(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    B, T, W, S = 2, 5, 64, 4
+    rng = np.random.RandomState(0)
+    prompt = jnp.asarray(rng.randint(2, 100, (B, T)), jnp.int32)
+    cond = jnp.asarray(rng.rand(B, 2), jnp.float32)
+    variables = {"params": params}
+    toks = rng.randint(2, 100, (2 * S + 1, B)).astype(np.int32)
+
+    for quant, atol in ((False, 5e-3), (True, 5e-2)):
+        with pltpu.force_tpu_interpret_mode():
+            logits, cache = model.apply(
+                variables, prompt, cond, W, quant,
+                method=MusicTransformer.prefill_q,
+            )
+            ce = model.apply(
+                variables, cond, method=MusicTransformer.condition_embedding
+            )
+            cacheL = dict(cache)
+            kv, sc = cache["kv"], cache.get("sc")
+            pend = jnp.zeros(
+                (S, cfg.n_layer, B, 2 * cfg.d_model), jnp.bfloat16
+            )
+            f_len, p = cache["length"], 0
+            for i in range(toks.shape[0]):
+                t = jnp.asarray(toks[i])
+                lL, cacheL = model.apply(
+                    variables, t, ce, cacheL,
+                    method=MusicTransformer.decode_step_q,
+                )
+                lS, pend = model.apply(
+                    variables, t, ce, kv, sc, pend, f_len, p,
+                    method=MusicTransformer.decode_step_staged,
+                )
+                p += 1
+                if p == S:
+                    kv, sc = flush_pend(kv, sc, pend, f_len, cfg.n_head)
+                    f_len, p = f_len + S, 0
+                d = np.abs(np.asarray(lL) - np.asarray(lS)).max()
+                scale = np.abs(np.asarray(lL)).max()
+                assert d / scale < atol, (quant, i, d, scale)
+
+
+def test_staged_sampler_generates_across_slide():
+    """generate() with staging through cache growth, chunk trimming, and
+    window-slide refreshes: valid tokens, right shape, and the staged
+    run tracks the unstaged stacked path's early tokens."""
+    from midi_emotion_tpu.generation.sampler import Sampler
+    from midi_emotion_tpu.models.config import ModelConfig
+    from midi_emotion_tpu.models.model import MusicTransformer, init_params
+    from midi_emotion_tpu.ops.sampling import SamplingParams
+    from midi_emotion_tpu.vocab import DEFAULT_VOCAB
+
+    cfg = ModelConfig(
+        vocab_size=DEFAULT_VOCAB.base_size, mode="continuous_concat",
+        n_layer=2, n_head=2, d_model=64, d_inner=96, d_condition=16,
+        max_seq=128, dropout=0.0,
+    ).validate()
+    model = MusicTransformer(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    B, G = 2, 90
+    sp = SamplingParams(gen_len=G, max_input_len=64, temperatures=(1.2, 1.2),
+                        top_k=-1, top_p=0.7, penalty_coeff=0.5, seed=1)
+    primers = np.ones((B, 1), np.int32)
+    conds = np.tile(np.array([[0.5, 0.5]], np.float32), (B, 1))
+    u = np.asarray(jax.random.uniform(jax.random.PRNGKey(2), (G - 1, B)))
+
+    with pltpu.force_tpu_interpret_mode():
+        base = Sampler(
+            model, params, DEFAULT_VOCAB, sp, kv_dtype="bf16",
+            stage_steps=0, cache_stage=16, slide_hop=7,
+        ).generate(primers, continuous_conditions=conds, uniforms=u)
+        got = Sampler(
+            model, params, DEFAULT_VOCAB, sp, kv_dtype="bf16",
+            stage_steps=3, cache_stage=16, slide_hop=7,
+        ).generate(primers, continuous_conditions=conds, uniforms=u)
+    assert got.shape == base.shape == (B, G)
+    assert (got >= 0).all() and (got < DEFAULT_VOCAB.base_size).all()
+    # (no token-identity assert: a random-init model's near-uniform logits
+    # flip samples on any rounding diff -- numerics are pinned step-wise by
+    # test_staged_step_logits_track_legacy instead)
+    assert (base >= 0).all() and (base < DEFAULT_VOCAB.base_size).all()

@@ -17,6 +17,8 @@ import json
 import os
 import socket
 import subprocess
+
+import pytest
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -30,6 +32,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_dp_train_step():
     port = _free_port()
     env = dict(os.environ)

@@ -87,6 +87,7 @@ def test_ring_model_grads_match_xla(seq_mesh):
         )
 
 
+@pytest.mark.slow
 def test_ring_long_context_flagship_width(seq_mesh):
     """One real train step at flagship WIDTH (d_model=768, 16 heads) and
     T=4096 -- double the reference's max_seq cap. The E/positional tables
@@ -119,6 +120,7 @@ def test_ring_long_context_flagship_width(seq_mesh):
     assert not np.allclose(p_before, p_after)
 
 
+@pytest.mark.slow
 def test_ring_via_runner_cli(tmp_path):
     """The user-facing path: a stock train_cli invocation with
     --attn_impl ring --mesh_seq 8 runs real steps end to end."""

@@ -208,13 +208,13 @@ class RelativeGlobalAttention(nn.Module):
     ):
         """decode_q against a cache whose last p_cnt rows are still in the
         step-major staged buffer (ops/decode_attention.py staging notes):
-        kernel over the flushed rows + f32 tail over the staged rows +
-        exact self term. Returns (attn_out [B, d], bf16 row [B, 2d]) --
-        the caller appends the row to the stage; quantization happens at
+        ONE kernel call covers the flushed rows, folds the staged tail
+        in-VMEM, and appends this token's row at stage slot (p_cnt,
+        layer_idx) in place; the exact self term merges outside as usual.
+        Returns (attn_out [B, d], updated pend); quantization happens at
         flush time, not per step."""
         from ..ops.decode_attention import (
-            decode_attn_cached, expand_e_rows, merge_self, merge_states,
-            tail_attention,
+            decode_attn_cached, expand_e_rows, merge_self,
         )
 
         B = x_t.shape[0]
@@ -227,18 +227,13 @@ class RelativeGlobalAttention(nn.Module):
         e = self.e_table.astype(self.dtype)
         length = f_len + p_cnt  # total attendable rows (excl. current)
         e_rows = expand_e_rows(e, length + 1, kv8.shape[2])
-        acc, m, l = decode_attn_cached(q, kv8, sc, layer_idx, e_rows, f_len)
-        acc2, m2, l2 = tail_attention(
-            q,
-            pend[:, layer_idx, :, :d],
-            pend[:, layer_idx, :, d:],
-            expand_e_rows(e, p_cnt + 1, S),
-            p_cnt,
-        )
-        acc, m, l = merge_states(acc, m, l, acc2, m2, l2, self.n_head)
-        out = merge_self(acc, m, l, q, k_t, v_t, e[-1])
+        e_pend = expand_e_rows(e, p_cnt + 1, S)
         row = jnp.concatenate([k_t, v_t], axis=-1).astype(jnp.bfloat16)
-        return self.fc(out), row
+        acc, m, l, pend = decode_attn_cached(
+            q, kv8, sc, layer_idx, e_rows, f_len, pend, e_pend, p_cnt, row
+        )
+        out = merge_self(acc, m, l, q, k_t, v_t, e[-1])
+        return self.fc(out), pend
 
 
 class EncoderLayer(nn.Module):
@@ -312,13 +307,13 @@ class EncoderLayer(nn.Module):
         return out2, row8, rsc
 
     def decode_q_staged(self, x_t, kv8, sc, pend, layer_idx, f_len, p_cnt):
-        attn, row = self.rga.decode_q_staged(
+        attn, pend = self.rga.decode_q_staged(
             x_t, kv8, sc, pend, layer_idx, f_len, p_cnt
         )
         out1 = self.ln1(attn + x_t)
         ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
         out2 = self.ln2(out1 + ffn)
-        return out2, row
+        return out2, pend
 
 
 class MusicTransformer(nn.Module):
@@ -597,13 +592,14 @@ class MusicTransformer(nn.Module):
         f_len,               # int32: rows flushed into kv8
         p_cnt,               # int32: live staged rows
     ):
-        """One token against the stacked cache WITHOUT touching it: the
-        kernel covers the f_len flushed rows, the staged tail rides XLA
-        (rga.decode_q_staged), and this step's new K|V rows land in the
-        step-major stage with ONE contiguous DUS (vs. decode_step_q's 2560
-        scattered descriptors/step -- ops/decode_attention.py staging
-        notes). The sampler flushes the stage every S steps (flush_pend).
-        Returns (logits, updated pend)."""
+        """One token against the stacked cache WITHOUT touching it: each
+        layer's kernel call covers the f_len flushed rows, folds the
+        staged tail in-VMEM, and appends its own K|V row into stage slot
+        (p_cnt, layer) through an ALIASED kernel output (an XLA-level
+        stage append forced the scan carry to copy the whole stage every
+        step -- ops/decode_attention.py staging notes). The sampler
+        flushes the stage every S steps (flush_pend). Returns (logits,
+        updated pend)."""
         cfg = self.config
         length = f_len + p_cnt
         x = self.embedding(token_t)
@@ -615,14 +611,9 @@ class MusicTransformer(nn.Module):
                 x = jnp.concatenate([x, cond_emb], axis=-1)
         pos_vec = self.pos_table[length].astype(x.dtype)
         x = x + pos_vec[None, :]
-        rows = []
         for i, layer in enumerate(self.enc_layers):
-            x, row_i = layer.decode_q_staged(x, kv8, sc, pend, i, f_len, p_cnt)
-            rows.append(row_i)
+            x, pend = layer.decode_q_staged(x, kv8, sc, pend, i, f_len, p_cnt)
         logits = self.fc(x)
-        pend = jax.lax.dynamic_update_slice(
-            pend, jnp.stack(rows)[None], (p_cnt, 0, 0, 0)
-        )
         return logits, pend
 
     def decode_step(

@@ -71,7 +71,7 @@ _NEG = -1e30
 
 
 def _kernel(
-    s_ref,       # scalar-prefetch [2] int32: (layer, n_cached)
+    s_ref,       # scalar-prefetch [3] int32: (layer, n_cached, n_pend)
     q8bd_ref,    # [bb, H, D] block-diagonal query (int8 quantized, or
                  # bf16 when the cache is unquantized)
     sq_ref,      # [bb, H] f32 query scales (None when unquantized)
@@ -79,14 +79,24 @@ def _kernel(
     kv_ref,      # [1, bb, bw, 2D] int8|bf16 (this layer's K|V block)
     e_ref,       # [bw, dh] bf16 relative rows for this window block
     sc_ref,      # [1, bb, 2H, bw] bf16 K|V scales (None when unquantized)
+    pend_ref,    # [S, 1, bb, 2D] bf16 staged rows (None when unstaged)
+    ep_ref,      # [S, dh] bf16 relative rows for the staged tail
+    qbd16_ref,   # [bb, H, D] bf16 block-diag q for the pend dots (only
+                 # when quant -- the bf16 cache reuses q8bd_ref)
+    row_ref,     # [bb, 2D] bf16: current token's K|V row to append
     acc_ref,     # out [bb, D] f32 (unnormalized PV)
     m_ref,       # out [bb, H] f32 (running max)
     l_ref,       # out [bb, H] f32 (running denominator)
+    pend_out_ref,  # out [1, 1, bb, 2D] ALIASED to pend_ref's buffer: the
+                   # kernel appends row_ref at stage slot (n_pend, layer),
+                   # replacing an XLA dynamic_update_slice that forced
+                   # 63 MB/step of scan-carry copies (profiled)
     *,
     n_head: int,
     d_head: int,
     bw: int,
     quant: bool,
+    n_w: int,
 ):
     j = pl.program_id(1)
     bb, H, D = q8bd_ref.shape
@@ -169,6 +179,55 @@ def _kernel(
     alpha_exp = jnp.sum(alpha[..., None] * sel_f[None], axis=1)  # [bb, D]
     acc_ref[:] = acc_ref[:] * alpha_exp + contrib
 
+    if pend_ref is None:
+        return
+
+    # ---- staged pending-row tail (see staging notes below) ----
+    # The last <=S decoded rows live unquantized in the step-major stage;
+    # fold them into the running flash state after the final cache block.
+    # All forms here are probed-lowerable: the [S, bb, D] -> [bb, S, D]
+    # sublane-major transpose (the ONLY batched-dot relayout Mosaic
+    # accepts, scripts/probe_decode_layout.py) is tiny -- ~200 KB vs the
+    # 0.5 ms/34 MB relayout that killed the W-major cache layout.
+    @pl.when(j == n_w - 1)
+    def _pend():
+        n_pend = s_ref[2]
+        # append the current token's row into its stage slot (the block
+        # index map targets (n_pend, layer, i); the tail read above never
+        # sees it -- rows >= n_pend are masked)
+        pend_out_ref[0, 0] = row_ref[:]
+        S = pend_ref.shape[0]
+        kp = jnp.transpose(pend_ref[:, 0, :, :D], (1, 0, 2))  # [bb, S, D]
+        vp = jnp.transpose(pend_ref[:, 0, :, D:], (1, 0, 2))
+        q16 = qbd16_ref[:] if quant else q8bd_ref[:]  # [bb, H, D] bf16
+        sc_p = jax.lax.dot_general(
+            q16, kp, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bb, H, S]
+        bias_p = jax.lax.dot_general(
+            qh_ref[:].reshape(bb * H, dh), ep_ref[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, H, S)
+        lg = (sc_p + bias_p) * (1.0 / math.sqrt(dh))
+        s_live = (
+            jax.lax.broadcasted_iota(jnp.int32, (bb, H, S), 2) < n_pend
+        )
+        lg = jnp.where(s_live, lg, _NEG)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(lg, axis=-1))
+        alpha_p = jnp.exp(m_prev - m_new)
+        pp = jnp.where(s_live, jnp.exp(lg - m_new[..., None]), 0.0)
+        l_ref[:] = l_ref[:] * alpha_p + jnp.sum(pp, axis=-1)
+        m_ref[:] = m_new
+        res_p = jax.lax.dot_general(
+            pp.astype(jnp.bfloat16), vp, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bb, H, D]
+        contrib_p = jnp.sum(res_p * sel_f[None], axis=1)
+        alpha_pe = jnp.sum(alpha_p[..., None] * sel_f[None], axis=1)
+        acc_ref[:] = acc_ref[:] * alpha_pe + contrib_p
+
 
 def _pick_blocks(B: int, W: int, D2: int, itemsize: int):
     import os
@@ -208,55 +267,109 @@ def _pick_blocks(B: int, W: int, D2: int, itemsize: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n_head",))
-def _run(scalars, q8bd, sq, qh, kv8, e_rows, sc, *, n_head: int):
+def _run(scalars, q8bd, sq, qh, kv8, e_rows, sc, pend, e_pend, qbd16,
+         row, *, n_head: int):
     L, B, W, D2 = kv8.shape
     D = D2 // 2
     H = n_head
     dh = D // H
     quant = sc is not None
+    staged = pend is not None
     bb, bw = _pick_blocks(B, W, D2, 1 if quant else 2)
     nb, nw = pl.cdiv(B, bb), pl.cdiv(W, bw)
 
-    in_specs = [
-        pl.BlockSpec((bb, H, D), lambda i, j, s: (i, 0, 0)),
-        pl.BlockSpec((bb, H), lambda i, j, s: (i, 0)),
-        pl.BlockSpec((bb, H, dh), lambda i, j, s: (i, 0, 0)),
-        pl.BlockSpec((1, bb, bw, D2), lambda i, j, s: (s[0], i, j, 0)),
-        pl.BlockSpec((bw, dh), lambda i, j, s: (j, 0)),
+    # (name, value, spec, present) -- the kernel body receives None for
+    # absent optionals, so ONE kernel serves all quant x staged modes
+    maybe = [
+        ("q8bd", q8bd, pl.BlockSpec((bb, H, D), lambda i, j, s: (i, 0, 0)),
+         True),
+        ("sq", sq, pl.BlockSpec((bb, H), lambda i, j, s: (i, 0)), quant),
+        ("qh", qh, pl.BlockSpec((bb, H, dh), lambda i, j, s: (i, 0, 0)),
+         True),
+        ("kv", kv8,
+         pl.BlockSpec((1, bb, bw, D2), lambda i, j, s: (s[0], i, j, 0)),
+         True),
+        ("e", e_rows, pl.BlockSpec((bw, dh), lambda i, j, s: (j, 0)), True),
+        ("sc", sc,
+         pl.BlockSpec((1, bb, 2 * H, bw), lambda i, j, s: (s[0], i, 0, j)),
+         quant),
+        ("pend", pend,
+         None if pend is None else pl.BlockSpec(
+             (pend.shape[0], 1, bb, D2), lambda i, j, s: (0, s[0], i, 0)
+         ),
+         staged),
+        ("ep", e_pend,
+         None if pend is None else pl.BlockSpec(
+             (pend.shape[0], dh), lambda i, j, s: (0, 0)
+         ),
+         staged),
+        ("qbd16", qbd16,
+         pl.BlockSpec((bb, H, D), lambda i, j, s: (i, 0, 0)),
+         staged and quant),
+        ("row", row, pl.BlockSpec((bb, D2), lambda i, j, s: (i, 0)),
+         staged),
     ]
-    args = [scalars, q8bd, sq, qh, kv8, e_rows]
+    in_specs = [spec for _, _, spec, present in maybe if present]
+    args = [scalars] + [v for _, v, _, present in maybe if present]
+    present_flags = [present for _, _, _, present in maybe]
     body = functools.partial(_kernel, n_head=H, d_head=dh, bw=bw,
-                             quant=quant)
-    if quant:
-        in_specs.append(
-            pl.BlockSpec((1, bb, 2 * H, bw), lambda i, j, s: (s[0], i, 0, j))
+                             quant=quant, n_w=nw)
+    n_out = 4 if staged else 3
+
+    def kernel(s_ref, *refs):
+        it = iter(refs[: sum(present_flags)])
+        ins = [next(it) if present else None for present in present_flags]
+        outs = refs[sum(present_flags):]
+        if not staged:
+            outs = (*outs, None)
+        body(s_ref, *ins, *outs)
+
+    out_specs = [
+        pl.BlockSpec((bb, D), lambda i, j, s: (i, 0)),
+        pl.BlockSpec((bb, H), lambda i, j, s: (i, 0)),
+        pl.BlockSpec((bb, H), lambda i, j, s: (i, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, D), jnp.float32),
+        jax.ShapeDtypeStruct((B, H), jnp.float32),
+        jax.ShapeDtypeStruct((B, H), jnp.float32),
+    ]
+    aliases = {}
+    if staged:
+        # the kernel appends row into the stage IN PLACE: output 3 aliases
+        # the pend input buffer (index = 1 scalar arg + tensor position;
+        # an XLA-level DUS instead forces the scan carry to copy the whole
+        # 63 MB stage every step -- profiled at 0.37 ms/step)
+        S = pend.shape[0]
+        # slot index clamped: p_cnt == S is out of contract (the sampler
+        # flushes before that), but an OOB output block index hard-crashes
+        # the TPU worker -- degrade to overwriting the last slot instead
+        S_slots = pend.shape[0]
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, bb, D2),
+                lambda i, j, s: (jnp.minimum(s[2], S_slots - 1), s[0], i, 0),
+            )
         )
-        args.append(sc)
-        kernel = body
-    else:
-        in_specs.pop(1)  # no sq
-        args.pop(2)
-        def kernel(sr, qbdr, qhr, kvr, er, accr, mr, lr):
-            body(sr, qbdr, None, qhr, kvr, er, None, accr, mr, lr)
+        out_shape.append(jax.ShapeDtypeStruct(pend.shape, pend.dtype))
+        pend_pos = 1 + sum(
+            1 for name, _, _, present in maybe if present and name in (
+                "q8bd", "sq", "qh", "kv", "e", "sc"
+            )
+        )
+        aliases = {pend_pos: 3}
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb, nw),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((bb, D), lambda i, j, s: (i, 0)),
-            pl.BlockSpec((bb, H), lambda i, j, s: (i, 0)),
-            pl.BlockSpec((bb, H), lambda i, j, s: (i, 0)),
-        ),
+        out_specs=tuple(out_specs),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         # Mosaic only targets TPU; fall back to the interpreter on CPU so
         # the quantized/stacked modes still run (slowly) there. (The axon
@@ -292,16 +405,24 @@ def decode_attn_cached(
     sc,                   # [L, B, 2H, W] bf16 scales, or None (bf16 cache)
     layer,                # int32 scalar (traced ok)
     e_rows: jnp.ndarray,  # [W, dh] bf16 (expand_e_rows(e, length + 1, W))
-    length,               # int32 scalar: number of valid cached rows
+    length,               # int32 scalar: number of valid FLUSHED rows
+    pend=None,            # [S, L, B, 2D] bf16 staged rows (optional)
+    e_pend=None,          # [S, dh] bf16 (expand_e_rows(e, p_cnt + 1, S))
+    p_cnt=None,           # int32 scalar: live staged rows
+    row_t=None,           # [B, 2D] bf16: this token's K|V row; the kernel
+                          # appends it at stage slot (p_cnt, layer)
 ):
-    """Unnormalized flash decode over the cached rows of one layer.
+    """Unnormalized flash decode over the cached rows of one layer, plus
+    (when staged) the <=S unquantized pending rows folded in-kernel.
 
-    Returns (acc [B, D] f32, m [B, H] f32, l [B, H] f32); fold in the
-    current token with merge_self."""
+    Returns (acc [B, D] f32, m [B, H] f32, l [B, H] f32) -- plus, when
+    staged, the updated pend (the input buffer, appended in place); fold
+    in the current token with merge_self."""
     B, H, dh = q_t.shape
     D = H * dh
     r_head = jnp.arange(D) // dh
     diag = r_head[None, None, :] == jnp.arange(H)[None, :, None]
+    qbd16 = None
     if sc is not None:
         qf = q_t.astype(jnp.float32)
         sq = jnp.max(jnp.abs(qf), axis=-1) / 127.0 + 1e-20  # [B, H]
@@ -310,15 +431,27 @@ def decode_attn_cached(
         # multiply, and bool-mask relayout to int8 tiling fails in-kernel
         qbd = jnp.where(diag, q8[:, None, :], jnp.int8(0))  # [B, H, D]
         sq = sq.astype(jnp.float32)
+        if pend is not None:
+            # the staged tail is unquantized: its dot needs a bf16 q
+            q2 = q_t.reshape(B, D).astype(jnp.bfloat16)
+            qbd16 = jnp.where(diag, q2[:, None, :], jnp.bfloat16(0))
     else:
         q2 = q_t.reshape(B, D).astype(jnp.bfloat16)
         qbd = jnp.where(diag, q2[:, None, :], jnp.bfloat16(0))
         sq = None
     qh = q_t.astype(jnp.bfloat16)
-    scalars = jnp.stack(
-        [jnp.asarray(layer, jnp.int32), jnp.asarray(length, jnp.int32)]
-    )
-    return _run(scalars, qbd, sq, qh, kv8, e_rows, sc, n_head=H)
+    scalars = jnp.stack([
+        jnp.asarray(layer, jnp.int32),
+        jnp.asarray(length, jnp.int32),
+        jnp.asarray(0 if p_cnt is None else p_cnt, jnp.int32),
+    ])
+    if pend is not None and row_t is None:
+        # tests may probe the staged tail without appending: write the
+        # row the kernel would have read back out (slot p_cnt is masked,
+        # so ANY value is correct -- reuse the first stage row)
+        row_t = pend[0, layer].astype(jnp.bfloat16)
+    return _run(scalars, qbd, sq, qh, kv8, e_rows, sc, pend, e_pend,
+                qbd16, row_t, n_head=H)
 
 
 def merge_self(
@@ -358,75 +491,14 @@ def merge_self(
 # the writes scatter into L*B = 2560 DMA descriptors and descriptor COUNT,
 # not bytes, is what the step pays. Staging kills it: decoded rows append
 # into a small [S, L, B, 2D] bf16 buffer (step-major, so each append is ONE
-# contiguous 3.9 MB chunk), the query attends to the staged tail in XLA
-# (tail_attention below, merged into the kernel's unnormalized flash
-# triple), and every S steps the whole stage quantizes + lands in the main
-# cache with a single slab DUS pair -- the same 2560 descriptors, paid once
-# per S steps instead of every step.
-
-
-def tail_attention(
-    q_t: jnp.ndarray,      # [B, H, dh]
-    k_pend: jnp.ndarray,   # [S, B, D] staged keys (bf16, unquantized)
-    v_pend: jnp.ndarray,   # [S, B, D] staged values
-    e_tail: jnp.ndarray,   # [S, dh] relative rows: expand_e_rows(e, p+1, S)
-    p_cnt,                 # int32 scalar: live staged rows (0..S)
-):
-    """Unnormalized flash triple over the staged (not-yet-flushed) rows.
-
-    Same logit convention as the kernel: staged row s sits at absolute
-    window position F+s, so its relative row is E[ms-1-p+s] -- which is
-    exactly ``expand_e_rows(e, p_cnt+1, S)`` independent of F. Rows past
-    p_cnt are masked. Returns (acc [B, D] f32, m [B, H], l [B, H]);
-    combine with the kernel's triple via merge_states."""
-    B, H, dh = q_t.shape
-    S = k_pend.shape[0]
-    D = H * dh
-    # round operands to bf16 like the kernel's (bf16-cache) dots do, so the
-    # staged tail's numerics track the kernel path's: bf16 products, f32
-    # accumulation (the MXU convention)
-    qf = q_t.astype(jnp.bfloat16).astype(jnp.float32)
-    k4 = (
-        k_pend.reshape(S, B, H, dh).astype(jnp.bfloat16).astype(jnp.float32)
-    )
-    logits = (
-        jnp.einsum("bhd,sbhd->bhs", qf, k4)
-        + jnp.einsum(
-            "bhd,sd->bhs", qf,
-            e_tail.astype(jnp.bfloat16).astype(jnp.float32),
-        )
-    ) / math.sqrt(dh)  # [B, H, S]
-    live = (jnp.arange(S) < p_cnt)[None, None, :]
-    logits = jnp.where(live, logits, _NEG)
-    m = jnp.max(logits, axis=-1)  # [B, H] (== _NEG when p_cnt == 0)
-    p = jnp.where(live, jnp.exp(logits - m[..., None]), 0.0)
-    l = jnp.sum(p, axis=-1)
-    p16 = p.astype(jnp.bfloat16).astype(jnp.float32)
-    v4 = (
-        v_pend.reshape(S, B, H, dh).astype(jnp.bfloat16).astype(jnp.float32)
-    )
-    acc = jnp.einsum("bhs,sbhd->bhd", p16, v4)  # [B, H, dh]
-    return acc.reshape(B, D), m, l
-
-
-def merge_states(acc1, m1, l1, acc2, m2, l2, n_head: int):
-    """Combine two unnormalized flash triples (order-independent).
-
-    accs are [B, D] f32 with D = H*dh; m/l are [B, H]. An empty side
-    (m == _NEG, l == 0, acc == 0) merges as the identity: exp(_NEG - m)
-    underflows to 0 when the other side is live, and when BOTH are empty
-    the exp(0) = 1 factors multiply zero accs/ls harmlessly."""
-    B, D = acc1.shape
-    dh = D // n_head
-    m = jnp.maximum(m1, m2)
-    a1 = jnp.exp(m1 - m)
-    a2 = jnp.exp(m2 - m)
-    expand = lambda x: jnp.broadcast_to(
-        x[:, :, None], (B, n_head, dh)
-    ).reshape(B, D)
-    acc = acc1 * expand(a1) + acc2 * expand(a2)
-    l = l1 * a1 + l2 * a2
-    return acc, m, l
+# contiguous 3.9 MB chunk), the kernel folds the staged tail into its
+# flash state IN-VMEM (the _pend block in _kernel -- an XLA tail was tried
+# first and measured SLOWER than the append it replaced, both as
+# per-(b,h) einsums (M=1 micro-dots) and as merged-channel batched GEMMs:
+# the pend slices + [B,H,D] intermediates round-trip HBM per layer), and
+# every S steps the whole stage quantizes + lands in the main cache with a
+# single slab DUS pair (flush_pend) -- the same 2560 descriptors, paid
+# once per S steps instead of every step.
 
 
 def flush_pend(kv, sc, pend, f_len, n_head: int):

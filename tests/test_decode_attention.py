@@ -321,17 +321,14 @@ def test_blocks_override_rejects_partial_tail():
 # ---- staged pending-row buffer (round-4 decode-append fix) -----------------
 
 
-def test_tail_attention_plus_self_matches_exact_decode():
-    """tail_attention over S staged rows + merge_self must reproduce
-    decode_rel_attention when the staged rows ARE the whole history: the
-    tail triple merged with an EMPTY main triple and the exact self term
-    is a complete (bf16-product) attention over rows 0..S-1 + self."""
-    from midi_emotion_tpu.ops.decode_attention import (
-        merge_states, tail_attention,
-    )
-
-    B, H, dh, S, MS = 2, 4, 48, 6, 512
+def test_staged_kernel_matches_exact_decode():
+    """The kernel's in-VMEM staged tail + merge_self must reproduce
+    decode_rel_attention when the staged rows ARE the whole history
+    (flushed length 0): a complete bf16-product attention over rows
+    0..S-1 + self."""
+    B, W, H, dh, S, MS = 2, 128, 4, 48, 6, 512
     D = H * dh
+    L = 2
     ks = jax.random.split(jax.random.PRNGKey(3), 4)
     q = jax.random.normal(ks[0], (B, H, dh), jnp.float32)
     kv_rows = jax.random.normal(ks[1], (S + 1, B, 2 * D), jnp.bfloat16)
@@ -342,61 +339,69 @@ def test_tail_attention_plus_self_matches_exact_decode():
     n = jnp.asarray(S + 1, jnp.int32)  # history S rows + current token
     ref = decode_rel_attention(q, k_all, v_all, e, n).reshape(B, D)
 
-    pend_k = kv_rows[:S, :, :D]
-    pend_v = kv_rows[:S, :, D:]
-    e_tail = expand_e_rows(e, jnp.asarray(S + 1, jnp.int32), S)
-    acc_t, m_t, l_t = tail_attention(q, pend_k, pend_v, e_tail, S)
-    # empty main side: the merge must treat it as the identity
-    empty = (
-        jnp.zeros((B, D), jnp.float32),
-        jnp.full((B, H), -1e30, jnp.float32),
-        jnp.zeros((B, H), jnp.float32),
-    )
-    acc, m, l = merge_states(*empty, acc_t, m_t, l_t, H)
-    out = merge_self(
-        acc, m, l, q, kv_rows[S, :, :D], kv_rows[S, :, D:], e[MS - 1]
-    )
-    out = np.asarray(out, np.float32)
-    ref = np.asarray(ref, np.float32)
-    err = np.abs(out - ref) / (np.abs(ref).max() + 1e-9)
-    # bf16 products in the tail vs f32 in the oracle
-    assert err.max() < 0.02, err.max()
+    for quant in (False, True):
+        if quant:
+            kv8 = jnp.zeros((L, B, W, 2 * D), jnp.int8)
+            sc = jnp.zeros((L, B, 2 * H, W), jnp.bfloat16)
+        else:
+            kv8 = jnp.zeros((L, B, W, 2 * D), jnp.bfloat16)
+            sc = None
+        # one spare slot: p_cnt == S means every row is staged, and the
+        # kernel's append targets slot p_cnt (clamped in-bounds)
+        pend = jnp.zeros((S + 1, L, B, 2 * D), jnp.bfloat16)
+        pend = pend.at[:S, 1].set(kv_rows[:S])  # layer 1 holds the rows
+        e_rows = expand_e_rows(e, n, W)
+        e_pend = expand_e_rows(e, n, S + 1)  # p_cnt + 1 = S + 1 = n
+        with pltpu.force_tpu_interpret_mode():
+            acc, m, l, _ = decode_attn_cached(
+                q, kv8, sc, jnp.asarray(1), e_rows,
+                jnp.asarray(0, jnp.int32), pend, e_pend,
+                jnp.asarray(S, jnp.int32),
+            )
+        out = merge_self(
+            acc, m, l, q, kv_rows[S, :, :D], kv_rows[S, :, D:], e[MS - 1]
+        )
+        out = np.asarray(out, np.float32)
+        refn = np.asarray(ref, np.float32)
+        err = np.abs(out - refn) / (np.abs(refn).max() + 1e-9)
+        # bf16 products in the staged tail vs f32 in the oracle
+        assert err.max() < 0.02, (quant, err.max())
 
 
-def test_tail_attention_masks_dead_rows():
-    """Rows >= p_cnt must not contribute, and p_cnt=0 must merge as the
-    identity."""
-    from midi_emotion_tpu.ops.decode_attention import (
-        merge_states, tail_attention,
-    )
-
-    B, H, dh, S, MS = 2, 2, 16, 4, 64
+def test_staged_kernel_masks_dead_rows():
+    """Staged rows >= p_cnt must not contribute, and p_cnt=0 must leave
+    the unstaged result untouched (identity merge)."""
+    B, W, H, dh, S, MS, length = 2, 128, 4, 48, 4, 512, 60
     D = H * dh
-    ks = jax.random.split(jax.random.PRNGKey(5), 3)
-    q = jax.random.normal(ks[0], (B, H, dh), jnp.float32)
-    pend = jax.random.normal(ks[1], (S, B, 2 * D), jnp.bfloat16)
-    e = jax.random.normal(ks[2], (MS, dh), jnp.float32)
-    e_tail = expand_e_rows(e, jnp.asarray(3, jnp.int32), S)
-
-    # p_cnt=2: poisoning rows 2..S-1 must not change the result
-    a1 = tail_attention(q, pend[:, :, :D], pend[:, :, D:], e_tail, 2)
-    poisoned = pend.at[2:].set(jnp.bfloat16(1e4))
-    a2 = tail_attention(
-        q, poisoned[:, :, :D], poisoned[:, :, D:], e_tail, 2
+    k, v, q, e, n = _setup(B, W, H, dh, MS, length)
+    kv = jnp.concatenate([k, v], axis=-1)
+    kv8, sc = quantize_rows(kv, 2 * H)
+    kv8s = jnp.stack([kv8, jnp.zeros_like(kv8)])
+    scs = jnp.stack([sc, jnp.zeros_like(sc)])
+    e_rows = expand_e_rows(e, n + 2, W)
+    e_pend = expand_e_rows(e, jnp.asarray(3, jnp.int32), S)
+    pend = jax.random.normal(
+        jax.random.PRNGKey(9), (S, 2, B, 2 * D), jnp.bfloat16
     )
-    for x, y in zip(a1, a2):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
-    # p_cnt=0 merged into a live triple is the identity
-    main = (
-        jax.random.normal(ks[0], (B, D), jnp.float32),
-        jax.random.normal(ks[1], (B, H), jnp.float32),
-        jax.random.uniform(ks[2], (B, H), jnp.float32) + 1.0,
-    )
-    t0 = tail_attention(q, pend[:, :, :D], pend[:, :, D:], e_tail, 0)
-    merged = merge_states(*main, *t0, H)
-    for x, y in zip(merged, main):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+    with pltpu.force_tpu_interpret_mode():
+        # p_cnt=2: poisoning rows 2..S-1 must not change the result
+        a1 = decode_attn_cached(q, kv8s, scs, jnp.asarray(0), e_rows, n,
+                                pend, e_pend, jnp.asarray(2, jnp.int32))[:3]
+        poisoned = pend.at[2:].set(jnp.bfloat16(1e4))
+        a2 = decode_attn_cached(q, kv8s, scs, jnp.asarray(0), e_rows, n,
+                                poisoned, e_pend, jnp.asarray(2, jnp.int32))[:3]
+        for x, y in zip(a1, a2):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+        # p_cnt=0 must equal the unstaged kernel call exactly
+        base = decode_attn_cached(q, kv8s, scs, jnp.asarray(0), e_rows, n)
+        z = decode_attn_cached(q, kv8s, scs, jnp.asarray(0), e_rows, n,
+                               poisoned, e_pend, jnp.asarray(0, jnp.int32))[:3]
+        for x, y in zip(z, base):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-6
+            )
 
 
 def test_flush_pend_places_rows():

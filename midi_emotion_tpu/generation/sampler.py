@@ -572,20 +572,28 @@ class Sampler:
             _round_up(max_input_len + n_prefix + cfg.seq_prefix + hop, 128),
             cfg.max_seq,
         )
-        if self.kv_dtype == "int8":
-            itemsize = 1.1  # int8 rows + ~8% bf16 scales
-        elif self.kv_dtype == "bf16":
-            itemsize = 2
+        if self.kv_dtype != "native":
+            # Stacked-cache kernel paths: allocate FULL width up front.
+            # The kernel's dead-block skip (ops/decode_attention.py
+            # _clamped_j) means blocks past `length` never DMA, so a
+            # full-size cache reads only ceil(length/bw) blocks/step --
+            # growth would save nothing, and its transitions (old + new
+            # cache live together) were what OOM'd B>=144 int8 serving.
+            # w_max is already a multiple of the swept-best 128-wide skip
+            # block (scripts/perf_decode_skip.py: bw=128 beats coarser
+            # tiles at every length, including full width).
+            stage = w_max
         else:
             itemsize = 2 if self.model.dtype == jnp.bfloat16 else 4
-        full_cache_bytes = (
-            2 * cfg.n_layer * B * cfg.n_head * w_max * cfg.d_head * itemsize
-        )
-        # worst transition holds old + new stage live (< 2x full); the
-        # time-major cache layout is unpadded, so up to ~13 GB of the
-        # 16 GB HBM can be cache before staging must be disabled
-        if full_cache_bytes > 6.5e9:
-            stage = w_max
+            full_cache_bytes = (
+                2 * cfg.n_layer * B * cfg.n_head * w_max * cfg.d_head
+                * itemsize
+            )
+            # worst transition holds old + new stage live (< 2x full); the
+            # time-major cache layout is unpadded, so up to ~13 GB of the
+            # 16 GB HBM can be cache before staging must be disabled
+            if full_cache_bytes > 6.5e9:
+                stage = w_max
 
         def fetch_song() -> np.ndarray:
             """Materialize all sampled tokens on the host (one transfer)."""
@@ -614,14 +622,16 @@ class Sampler:
                     live = visible + overhead
                     w_cur = min(
                         max(_round_up(live + 1, stage), stage),
-                        _round_up(max_input_len + overhead + hop, 128),
-                        cfg.max_seq,
+                        w_max,
                     )
                     n_steps = w_cur - live
                 if cur_len > max_input_len:
-                    w_cur = min(
-                        _round_up(visible + overhead + n_steps + 1, 128),
-                        cfg.max_seq,
+                    w_cur = (
+                        w_max if self.kv_dtype != "native"
+                        else min(
+                            _round_up(visible + overhead + n_steps + 1, 128),
+                            cfg.max_seq,
+                        )
                     )
                 else:
                     # sample k's context is cur_len + k tokens; past the
@@ -641,8 +651,7 @@ class Sampler:
                 live = cur_len + overhead
                 w_cur = min(
                     max(_round_up(live + 1, stage), w_in),
-                    _round_up(max_input_len + overhead + hop, 128),
-                    cfg.max_seq,
+                    w_max,
                 )
                 n_steps = min(
                     n_total_steps - steps_done,

@@ -114,70 +114,80 @@ def _kernel(
     h_row = jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
     sel_f = (r_head == h_row).astype(jnp.float32)
 
-    k_blk = kv_ref[0, :, :, :D]  # [bb, bw, D]
-    v_blk = kv_ref[0, :, :, D:]
+    # Dead-block skip: blocks wholly past `length` clamp their kv/e/sc
+    # index maps to the last LIVE block (_clamped_j), so Pallas never
+    # re-issues their DMA (the block index repeats between consecutive
+    # grid steps); this @pl.when skips their compute too. A fully masked
+    # block would leave m/l/acc unchanged anyway (p == 0, alpha == 1) --
+    # skipping just avoids paying MXU+VPU time for it.
+    @pl.when(j * bw < length)
+    def _live_block():
+        k_blk = kv_ref[0, :, :, :D]  # [bb, bw, D]
+        v_blk = kv_ref[0, :, :, D:]
 
-    if quant:
-        # scores: int8 block-diagonal q against the raw int8 K block (MXU
-        # int8 x int8 -> int32; the cache is never converted)
-        ks = sc_ref[0, :, :H, :]  # [bb, H, bw]
-        vs = sc_ref[0, :, H:, :]
-        scores = jax.lax.dot_general(
-            q8bd_ref[:], k_blk, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        )  # [bb, H, bw]
-        scores_f = (
-            scores.astype(jnp.float32)
-            * sq_ref[:][:, :, None]
-            * ks.astype(jnp.float32)
-        )
-    else:
-        # bf16 cache: native bf16 MXU dot, no scales
-        scores_f = jax.lax.dot_general(
-            q8bd_ref[:], k_blk, (((2,), (2,)), ((0,), (0,))),
+        if quant:
+            # scores: int8 block-diagonal q against the raw int8 K block
+            # (MXU int8 x int8 -> int32; the cache is never converted)
+            ks = sc_ref[0, :, :H, :]  # [bb, H, bw]
+            vs = sc_ref[0, :, H:, :]
+            scores = jax.lax.dot_general(
+                q8bd_ref[:], k_blk, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )  # [bb, H, bw]
+            scores_f = (
+                scores.astype(jnp.float32)
+                * sq_ref[:][:, :, None]
+                * ks.astype(jnp.float32)
+            )
+        else:
+            # bf16 cache: native bf16 MXU dot, no scales
+            scores_f = jax.lax.dot_general(
+                q8bd_ref[:], k_blk, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [bb, H, bw]
+
+        # relative bias: unquantized per-head q against the E rows -- a
+        # [bb*H, dh] x [dh, bw] dot
+        bias = jax.lax.dot_general(
+            qh_ref[:].reshape(bb * H, dh), e_ref[:],
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [bb, H, bw]
+        ).reshape(bb, H, bw)
 
-    # relative bias: unquantized per-head q against the E rows -- a
-    # [bb*H, dh] x [dh, bw] dot
-    bias = jax.lax.dot_general(
-        qh_ref[:].reshape(bb * H, dh), e_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(bb, H, bw)
+        logits = (scores_f + bias) * (1.0 / math.sqrt(dh))
+        w_idx = j * bw + jax.lax.broadcasted_iota(jnp.int32, (bb, H, bw), 2)
+        live = w_idx < length
+        logits = jnp.where(live, logits, _NEG)
 
-    logits = (scores_f + bias) * (1.0 / math.sqrt(dh))
-    w_idx = j * bw + jax.lax.broadcasted_iota(jnp.int32, (bb, H, bw), 2)
-    live = w_idx < length
-    logits = jnp.where(live, logits, _NEG)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))  # [bb, H]
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new[..., None])  # [bb, H, bw] f32
+        p = jnp.where(live, p, 0.0)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1)
+        m_ref[:] = m_new
 
-    m_prev = m_ref[:]
-    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))  # [bb, H]
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new[..., None])  # [bb, H, bw] f32
-    p = jnp.where(live, p, 0.0)
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1)
-    m_ref[:] = m_new
-
-    if quant:
-        # fold V scales into the probabilities, re-quantize to int8 with
-        # a per-(batch, head) dynamic scale, contract against raw int8 V
-        pv = p * vs.astype(jnp.float32)  # [bb, H, bw]
-        s_p = jnp.max(pv, axis=-1) / 127.0 + 1e-20  # [bb, H]
-        p8 = jnp.round(pv / s_p[..., None]).astype(jnp.int8)
-        res = jax.lax.dot_general(
-            p8, v_blk, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        )  # [bb, H, D]
-        res_f = res.astype(jnp.float32) * s_p[..., None]
-    else:
-        res_f = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_blk, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [bb, H, D]
-    # head-diagonal selection back to the merged channel axis
-    contrib = jnp.sum(res_f * sel_f[None], axis=1)  # [bb, D]
-    alpha_exp = jnp.sum(alpha[..., None] * sel_f[None], axis=1)  # [bb, D]
-    acc_ref[:] = acc_ref[:] * alpha_exp + contrib
+        if quant:
+            # fold V scales into the probabilities, re-quantize to int8
+            # with a per-(batch, head) dynamic scale, contract against
+            # raw int8 V
+            pv = p * vs.astype(jnp.float32)  # [bb, H, bw]
+            s_p = jnp.max(pv, axis=-1) / 127.0 + 1e-20  # [bb, H]
+            p8 = jnp.round(pv / s_p[..., None]).astype(jnp.int8)
+            res = jax.lax.dot_general(
+                p8, v_blk, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )  # [bb, H, D]
+            res_f = res.astype(jnp.float32) * s_p[..., None]
+        else:
+            res_f = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v_blk, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [bb, H, D]
+        # head-diagonal selection back to the merged channel axis
+        contrib = jnp.sum(res_f * sel_f[None], axis=1)  # [bb, D]
+        alpha_exp = jnp.sum(alpha[..., None] * sel_f[None], axis=1)
+        acc_ref[:] = acc_ref[:] * alpha_exp + contrib
 
     if pend_ref is None:
         return
@@ -238,32 +248,43 @@ def _pick_blocks(B: int, W: int, D2: int, itemsize: int):
         bb = min(bb, B)
         # A partial tail W-block reads out of bounds and CRASHES the TPU
         # worker outright (not just garbage data) -- refuse the config
-        # instead of letting the kernel take the device down.
-        if bw != W:
+        # instead of letting the kernel take the device down. Full blocks
+        # tiling W exactly are safe; bw must also stay a multiple of 128
+        # for the [.., 2H, bw] scales block (lane axis).
+        if W % bw or bw % 128:
             raise ValueError(
-                f"DECODE_ATTN_BLOCKS window block bw={bw} must equal the "
-                f"cache window W={W}: a partial tail block reads out of "
-                "bounds and hard-crashes the TPU worker"
+                f"DECODE_ATTN_BLOCKS window block bw={bw} must tile the "
+                f"cache window W={W} exactly in multiples of 128: a "
+                "partial tail block reads out of bounds and hard-crashes "
+                "the TPU worker"
             )
         if B % bb:
             raise ValueError(
                 f"DECODE_ATTN_BLOCKS batch block bb={bb} must divide B={B}"
             )
         return bb, bw
-    # bw MUST equal W: a partial tail block reads out of bounds, which
-    # crashed the TPU worker outright (bf16 cache, W=1408, bw=768); bw
-    # also has to stay a multiple of 128 for the [.., 2H, bw] scales
-    # block -- W always is.
-    # bb=8 with full-width blocks measured best up to B=64 (20.65k vs
-    # 17.7k at bb=16); at B=128 the wider bb=16 block halves the step
-    # count and wins (24.1k vs 23.4k tok/s end-to-end). Both swept with
-    # bw=W int8 at W=1408.
-    bb = 8 if B < 128 else 16
+    # bw must TILE W (a partial tail block reads out of bounds, which
+    # crashed the TPU worker outright -- bf16 cache, W=1408, bw=768) and
+    # stay a multiple of 128 for the [.., 2H, bw] scales block. Sub-W
+    # blocks enable the dead-block skip (blocks past `length` never DMA,
+    # so a full-width cache reads only ceil(length/bw) blocks/step).
+    # Swept on-chip at B=128/W=1408 int8 (scripts/perf_decode_skip.py):
+    # bw=128 beats bw=W at EVERY length -- 1.99 ms/step at length 128 vs
+    # 8.60 full-width, and 8.31 vs 8.63 even at full length (smaller
+    # blocks pipeline better). Coarser tiles (256/512 at W=1536) lose at
+    # short lengths and read padding at full length.
+    bw = 128 if W % 128 == 0 else W
+    # batch block: wider blocks amortize the fixed per-grid-step cost of
+    # the (skipped) dead blocks; bounded by the VMEM working set. bb=32
+    # swept best over the serving length distribution at B=128/bw=128
+    # (1.78 ms at len 128, 3.84 at 512 vs 1.99/3.96 for bb=16; bb=16 is
+    # ~0.25 ms better only at full width).
+    bb = 8 if B < 128 else 32
     bb = min(bb, B)
     # keep double-buffered K|V blocks within ~3/4 of the VMEM budget
-    while bb > 1 and 2 * bb * W * D2 * itemsize > 75e6:
+    while bb > 1 and 2 * bb * bw * D2 * itemsize > 75e6:
         bb //= 2
-    return bb, W
+    return bb, bw
 
 
 @functools.partial(jax.jit, static_argnames=("n_head",))
@@ -278,6 +299,14 @@ def _run(scalars, q8bd, sq, qh, kv8, e_rows, sc, pend, e_pend, qbd16,
     bb, bw = _pick_blocks(B, W, D2, 1 if quant else 2)
     nb, nw = pl.cdiv(B, bb), pl.cdiv(W, bw)
 
+    # Dead-block skip (see _kernel): blocks wholly past `length` repeat
+    # the last live block's index, so the pipeline never issues their
+    # DMA. s[1] is the flushed length; at length == 0 every block clamps
+    # to 0 (fetched once, fully masked).
+    def _clamped_j(j, s):
+        n_live_m1 = jnp.maximum((s[1] + bw - 1) // bw - 1, 0)
+        return jnp.minimum(j, n_live_m1)
+
     # (name, value, spec, present) -- the kernel body receives None for
     # absent optionals, so ONE kernel serves all quant x staged modes
     maybe = [
@@ -287,11 +316,19 @@ def _run(scalars, q8bd, sq, qh, kv8, e_rows, sc, pend, e_pend, qbd16,
         ("qh", qh, pl.BlockSpec((bb, H, dh), lambda i, j, s: (i, 0, 0)),
          True),
         ("kv", kv8,
-         pl.BlockSpec((1, bb, bw, D2), lambda i, j, s: (s[0], i, j, 0)),
+         pl.BlockSpec(
+             (1, bb, bw, D2),
+             lambda i, j, s: (s[0], i, _clamped_j(j, s), 0),
+         ),
          True),
-        ("e", e_rows, pl.BlockSpec((bw, dh), lambda i, j, s: (j, 0)), True),
+        ("e", e_rows,
+         pl.BlockSpec((bw, dh), lambda i, j, s: (_clamped_j(j, s), 0)),
+         True),
         ("sc", sc,
-         pl.BlockSpec((1, bb, 2 * H, bw), lambda i, j, s: (s[0], i, 0, j)),
+         pl.BlockSpec(
+             (1, bb, 2 * H, bw),
+             lambda i, j, s: (s[0], i, 0, _clamped_j(j, s)),
+         ),
          quant),
         ("pend", pend,
          None if pend is None else pl.BlockSpec(

@@ -209,13 +209,11 @@ class RelativeGlobalAttention(nn.Module):
         """decode_q against a cache whose last p_cnt rows are still in the
         step-major staged buffer (ops/decode_attention.py staging notes):
         ONE kernel call covers the flushed rows, folds the staged tail
-        in-VMEM, and appends this token's row at stage slot (p_cnt,
-        layer_idx) in place; the exact self term merges outside as usual.
-        Returns (attn_out [B, d], updated pend); quantization happens at
-        flush time, not per step."""
-        from ..ops.decode_attention import (
-            decode_attn_cached, expand_e_rows, merge_self,
-        )
+        in-VMEM, merges the self term, normalizes, and appends this
+        token's row at stage slot (p_cnt, layer_idx) in place. Returns
+        (attn_out [B, d], updated pend); quantization happens at flush
+        time, not per step."""
+        from ..ops.decode_attention import decode_attn_cached, expand_e_rows
 
         B = x_t.shape[0]
         d = self.d_model
@@ -227,13 +225,13 @@ class RelativeGlobalAttention(nn.Module):
         e = self.e_table.astype(self.dtype)
         length = f_len + p_cnt  # total attendable rows (excl. current)
         e_rows = expand_e_rows(e, length + 1, kv8.shape[2])
-        e_pend = expand_e_rows(e, p_cnt + 1, S)
+        # S + 1 rows: index p_cnt lands on E[ms-1], the self bias row
+        e_pend = expand_e_rows(e, p_cnt + 1, S + 1)
         row = jnp.concatenate([k_t, v_t], axis=-1).astype(jnp.bfloat16)
-        acc, m, l, pend = decode_attn_cached(
+        out, pend = decode_attn_cached(
             q, kv8, sc, layer_idx, e_rows, f_len, pend, e_pend, p_cnt, row
         )
-        out = merge_self(acc, m, l, q, k_t, v_t, e[-1])
-        return self.fc(out), pend
+        return self.fc(out.astype(x_t.dtype)), pend
 
 
 class EncoderLayer(nn.Module):

@@ -80,13 +80,18 @@ def _kernel(
     e_ref,       # [bw, dh] bf16 relative rows for this window block
     sc_ref,      # [1, bb, 2H, bw] bf16 K|V scales (None when unquantized)
     pend_ref,    # [S, 1, bb, 2D] bf16 staged rows (None when unstaged)
-    ep_ref,      # [S, dh] bf16 relative rows for the staged tail
+    ep_ref,      # [S+1, dh] bf16 relative rows for the staged tail; row
+                 # n_pend is E[ms-1], the SELF term's bias row
     qbd16_ref,   # [bb, H, D] bf16 block-diag q for the pend dots (only
                  # when quant -- the bf16 cache reuses q8bd_ref)
     row_ref,     # [bb, 2D] bf16: current token's K|V row to append
     acc_ref,     # out [bb, D] f32 (unnormalized PV)
     m_ref,       # out [bb, H] f32 (running max)
     l_ref,       # out [bb, H] f32 (running denominator)
+    out_ref,     # out [bb, D] bf16 (staged only): the NORMALIZED
+                 # attention output with the current token's self term
+                 # merged in-kernel (the XLA merge_self epilogue fused
+                 # away -- ~10 small ops/layer/step of dispatch gaps)
     pend_out_ref,  # out [1, 1, bb, 2D] ALIASED to pend_ref's buffer: the
                    # kernel appends row_ref at stage slot (n_pend, layer),
                    # replacing an XLA dynamic_update_slice that forced
@@ -215,7 +220,7 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )  # [bb, H, S]
         bias_p = jax.lax.dot_general(
-            qh_ref[:].reshape(bb * H, dh), ep_ref[:],
+            qh_ref[:].reshape(bb * H, dh), ep_ref[:S, :],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(bb, H, S)
@@ -237,6 +242,33 @@ def _kernel(
         contrib_p = jnp.sum(res_p * sel_f[None], axis=1)
         alpha_pe = jnp.sum(alpha_p[..., None] * sel_f[None], axis=1)
         acc_ref[:] = acc_ref[:] * alpha_pe + contrib_p
+
+        # ---- fused self term + normalization (merge_self in-kernel) ----
+        # The current token attends to itself exactly: its K|V row is
+        # row_ref, its bias row is E[ms-1] = ep_ref[n_pend] (expand_e_rows
+        # with n = p_cnt + 1 over S + 1 rows puts E[ms-1] at index
+        # p_cnt). Same math as merge_self below; bf16 products with f32
+        # accumulation, like every other dot here.
+        k_row = row_ref[:, :D].astype(jnp.bfloat16)  # [bb, D]
+        v_row = row_ref[:, D:].astype(jnp.float32)
+        logit_s = jax.lax.dot_general(
+            q16, k_row, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bb, H] (block-diag q -> per-head self score)
+        e_self = ep_ref[pl.ds(n_pend, 1), :]  # [1, dh] = E[ms-1]
+        bias_s = jax.lax.dot_general(
+            qh_ref[:].reshape(bb * H, dh), e_self,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, H)
+        logit_s = (logit_s + bias_s) * (1.0 / math.sqrt(dh))
+        m_fin = jnp.maximum(m_ref[:], logit_s)
+        a_old = jnp.exp(m_ref[:] - m_fin)
+        a_new = jnp.exp(logit_s - m_fin)
+        denom = l_ref[:] * a_old + a_new  # [bb, H]
+        expand = lambda x: jnp.sum(x[..., None] * sel_f[None], axis=1)
+        out = acc_ref[:] * expand(a_old) + v_row * expand(a_new)
+        out_ref[:] = (out / expand(denom)).astype(out_ref.dtype)
 
 
 def _pick_blocks(B: int, W: int, D2: int, itemsize: int):
@@ -276,10 +308,12 @@ def _pick_blocks(B: int, W: int, D2: int, itemsize: int):
     bw = 128 if W % 128 == 0 else W
     # batch block: wider blocks amortize the fixed per-grid-step cost of
     # the (skipped) dead blocks; bounded by the VMEM working set. bb=32
-    # swept best over the serving length distribution at B=128/bw=128
-    # (1.78 ms at len 128, 3.84 at 512 vs 1.99/3.96 for bb=16; bb=16 is
-    # ~0.25 ms better only at full width).
-    bb = 8 if B < 128 else 32
+    # swept best at every length for both B=128 int8 and B=64 bf16 with
+    # bw=128 (scripts/perf_decode_skip.py); larger bb only shrinks the
+    # grid further but loses pipeline overlap (bb=64/128 measured worse).
+    bb = 32
+    while bb > 1 and B % bb:
+        bb //= 2
     bb = min(bb, B)
     # keep double-buffered K|V blocks within ~3/4 of the VMEM budget
     while bb > 1 and 2 * bb * bw * D2 * itemsize > 75e6:
@@ -337,7 +371,7 @@ def _run(scalars, q8bd, sq, qh, kv8, e_rows, sc, pend, e_pend, qbd16,
          staged),
         ("ep", e_pend,
          None if pend is None else pl.BlockSpec(
-             (pend.shape[0], dh), lambda i, j, s: (0, 0)
+             (e_pend.shape[0], dh), lambda i, j, s: (0, 0)
          ),
          staged),
         ("qbd16", qbd16,
@@ -351,14 +385,13 @@ def _run(scalars, q8bd, sq, qh, kv8, e_rows, sc, pend, e_pend, qbd16,
     present_flags = [present for _, _, _, present in maybe]
     body = functools.partial(_kernel, n_head=H, d_head=dh, bw=bw,
                              quant=quant, n_w=nw)
-    n_out = 4 if staged else 3
 
     def kernel(s_ref, *refs):
         it = iter(refs[: sum(present_flags)])
         ins = [next(it) if present else None for present in present_flags]
         outs = refs[sum(present_flags):]
         if not staged:
-            outs = (*outs, None)
+            outs = (*outs, None, None)
         body(s_ref, *ins, *outs)
 
     out_specs = [
@@ -373,11 +406,14 @@ def _run(scalars, q8bd, sq, qh, kv8, e_rows, sc, pend, e_pend, qbd16,
     ]
     aliases = {}
     if staged:
-        # the kernel appends row into the stage IN PLACE: output 3 aliases
-        # the pend input buffer (index = 1 scalar arg + tensor position;
-        # an XLA-level DUS instead forces the scan carry to copy the whole
-        # 63 MB stage every step -- profiled at 0.37 ms/step)
-        S = pend.shape[0]
+        # output 3: the normalized attention output (self term merged
+        # in-kernel); output 4 appends row into the stage IN PLACE by
+        # aliasing the pend input buffer (index = 1 scalar arg + tensor
+        # position; an XLA-level DUS instead forces the scan carry to
+        # copy the whole 63 MB stage every step -- profiled at
+        # 0.37 ms/step)
+        out_specs.append(pl.BlockSpec((bb, D), lambda i, j, s: (i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B, D), jnp.bfloat16))
         # slot index clamped: p_cnt == S is out of contract (the sampler
         # flushes before that), but an OOB output block index hard-crashes
         # the TPU worker -- degrade to overwriting the last slot instead
@@ -394,7 +430,7 @@ def _run(scalars, q8bd, sq, qh, kv8, e_rows, sc, pend, e_pend, qbd16,
                 "q8bd", "sq", "qh", "kv", "e", "sc"
             )
         )
-        aliases = {pend_pos: 3}
+        aliases = {pend_pos: 4}
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -444,7 +480,8 @@ def decode_attn_cached(
     e_rows: jnp.ndarray,  # [W, dh] bf16 (expand_e_rows(e, length + 1, W))
     length,               # int32 scalar: number of valid FLUSHED rows
     pend=None,            # [S, L, B, 2D] bf16 staged rows (optional)
-    e_pend=None,          # [S, dh] bf16 (expand_e_rows(e, p_cnt + 1, S))
+    e_pend=None,          # [S+1, dh] bf16: expand_e_rows(e, p_cnt+1, S+1)
+                          # -- row p_cnt is E[ms-1], the self bias row
     p_cnt=None,           # int32 scalar: live staged rows
     row_t=None,           # [B, 2D] bf16: this token's K|V row; the kernel
                           # appends it at stage slot (p_cnt, layer)
@@ -452,9 +489,12 @@ def decode_attn_cached(
     """Unnormalized flash decode over the cached rows of one layer, plus
     (when staged) the <=S unquantized pending rows folded in-kernel.
 
-    Returns (acc [B, D] f32, m [B, H] f32, l [B, H] f32) -- plus, when
-    staged, the updated pend (the input buffer, appended in place); fold
-    in the current token with merge_self."""
+    Unstaged: returns (acc [B, D] f32, m [B, H] f32, l [B, H] f32); fold
+    in the current token with merge_self.
+    Staged: returns (out [B, D] bf16, pend) -- `out` is the NORMALIZED
+    attention output with the current token's self term already merged
+    in-kernel, and `pend` is the input stage buffer with row_t appended
+    in place at slot (p_cnt, layer)."""
     B, H, dh = q_t.shape
     D = H * dh
     r_head = jnp.arange(D) // dh
@@ -482,13 +522,24 @@ def decode_attn_cached(
         jnp.asarray(length, jnp.int32),
         jnp.asarray(0 if p_cnt is None else p_cnt, jnp.int32),
     ])
-    if pend is not None and row_t is None:
-        # tests may probe the staged tail without appending: write the
-        # row the kernel would have read back out (slot p_cnt is masked,
-        # so ANY value is correct -- reuse the first stage row)
-        row_t = pend[0, layer].astype(jnp.bfloat16)
-    return _run(scalars, qbd, sq, qh, kv8, e_rows, sc, pend, e_pend,
-                qbd16, row_t, n_head=H)
+    if pend is not None:
+        if e_pend.shape[0] != pend.shape[0] + 1:
+            raise ValueError(
+                f"e_pend must carry pend.shape[0] + 1 = {pend.shape[0] + 1} "
+                f"rows (the extra row at index p_cnt is the self bias "
+                f"E[ms-1]); got {e_pend.shape[0]}"
+            )
+        if row_t is None:
+            raise ValueError(
+                "staged decode requires row_t: the kernel appends it at "
+                "slot (p_cnt, layer) AND merges it as the self term"
+            )
+    res = _run(scalars, qbd, sq, qh, kv8, e_rows, sc, pend, e_pend,
+               qbd16, row_t, n_head=H)
+    if pend is None:
+        return res
+    acc, m, l, out, pend_new = res
+    return out, pend_new
 
 
 def merge_self(

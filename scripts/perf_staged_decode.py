@@ -39,7 +39,7 @@ def check_kernel_numerics():
     """Staged kernel (real Mosaic) vs exact decode at a small shape."""
     from midi_emotion_tpu.ops.attention import decode_rel_attention
     from midi_emotion_tpu.ops.decode_attention import (
-        decode_attn_cached, expand_e_rows, merge_self,
+        decode_attn_cached, expand_e_rows,
     )
 
     Bq, Wq, H, dh, S, MS, L = 8, 128, 4, 48, 6, 512, 2
@@ -65,17 +65,13 @@ def check_kernel_numerics():
         pend = jnp.zeros((S + 1, L, Bq, 2 * D), jnp.bfloat16)
         pend = pend.at[:S, 1].set(kv_rows[:S])
         e_rows = expand_e_rows(e, n, Wq)
-        e_pend = expand_e_rows(e, n, S + 1)
+        e_pend = expand_e_rows(e, n, S + 2)  # index p_cnt=S is E[ms-1]
         row = kv_rows[S]  # also exercises the aliased append at slot S
-        acc, m, l, pend_out = decode_attn_cached(
+        out, pend_out = decode_attn_cached(
             q, kv8, sc, jnp.asarray(1), e_rows, jnp.asarray(0, jnp.int32),
             pend, e_pend, jnp.asarray(S, jnp.int32), row,
         )
-        out = np.asarray(
-            merge_self(acc, m, l, q, kv_rows[S, :, :D], kv_rows[S, :, D:],
-                       e[MS - 1]),
-            np.float32,
-        )
+        out = np.asarray(out, np.float32)
         err = np.abs(out - ref) / (np.abs(ref).max() + 1e-9)
         app = np.asarray(pend_out[S, 1], np.float32)
         app_err = np.abs(app - np.asarray(row, np.float32)).max()

@@ -306,14 +306,21 @@ def test_blocks_override_rejects_partial_tail():
 
     os.environ["DECODE_ATTN_BLOCKS"] = "8,768"
     try:
-        with pytest.raises(ValueError, match="bw=768 must equal"):
+        with pytest.raises(ValueError, match="bw=768 must tile"):
+            _pick_blocks(64, 1408, 1536, 1)
+        # multiples of 64 that aren't multiples of 128 break the scales
+        # block's lane tiling
+        os.environ["DECODE_ATTN_BLOCKS"] = "8,64"
+        with pytest.raises(ValueError, match="bw=64 must tile"):
             _pick_blocks(64, 1408, 1536, 1)
         os.environ["DECODE_ATTN_BLOCKS"] = "7,1408"
         with pytest.raises(ValueError, match="must divide"):
             _pick_blocks(64, 1408, 1536, 1)
-        # a valid override passes through
+        # valid overrides pass through (full-width and sub-W tiles)
         os.environ["DECODE_ATTN_BLOCKS"] = "8,1408"
         assert _pick_blocks(64, 1408, 1536, 1) == (8, 1408)
+        os.environ["DECODE_ATTN_BLOCKS"] = "8,128"
+        assert _pick_blocks(64, 1408, 1536, 1) == (8, 128)
     finally:
         del os.environ["DECODE_ATTN_BLOCKS"]
 
@@ -322,10 +329,11 @@ def test_blocks_override_rejects_partial_tail():
 
 
 def test_staged_kernel_matches_exact_decode():
-    """The kernel's in-VMEM staged tail + merge_self must reproduce
-    decode_rel_attention when the staged rows ARE the whole history
-    (flushed length 0): a complete bf16-product attention over rows
-    0..S-1 + self."""
+    """The kernel's in-VMEM staged tail + in-kernel self merge must
+    reproduce decode_rel_attention when the staged rows ARE the whole
+    history (flushed length 0): a complete bf16-product attention over
+    rows 0..S-1 + self, normalized in-kernel. The appended row (aliased
+    output) must land bit-exact at slot (p_cnt, layer)."""
     B, W, H, dh, S, MS = 2, 128, 4, 48, 6, 512
     D = H * dh
     L = 2
@@ -351,26 +359,31 @@ def test_staged_kernel_matches_exact_decode():
         pend = jnp.zeros((S + 1, L, B, 2 * D), jnp.bfloat16)
         pend = pend.at[:S, 1].set(kv_rows[:S])  # layer 1 holds the rows
         e_rows = expand_e_rows(e, n, W)
-        e_pend = expand_e_rows(e, n, S + 1)  # p_cnt + 1 = S + 1 = n
+        # S_slots + 1 rows; index p_cnt = S is E[ms-1] (n = p_cnt + 1)
+        e_pend = expand_e_rows(e, n, S + 2)
+        row = kv_rows[S]  # the current token's row (self term + append)
         with pltpu.force_tpu_interpret_mode():
-            acc, m, l, _ = decode_attn_cached(
+            out, pend_out = decode_attn_cached(
                 q, kv8, sc, jnp.asarray(1), e_rows,
                 jnp.asarray(0, jnp.int32), pend, e_pend,
-                jnp.asarray(S, jnp.int32),
+                jnp.asarray(S, jnp.int32), row,
             )
-        out = merge_self(
-            acc, m, l, q, kv_rows[S, :, :D], kv_rows[S, :, D:], e[MS - 1]
-        )
         out = np.asarray(out, np.float32)
         refn = np.asarray(ref, np.float32)
         err = np.abs(out - refn) / (np.abs(refn).max() + 1e-9)
-        # bf16 products in the staged tail vs f32 in the oracle
+        # bf16 products in the staged tail + bf16 normalized output vs
+        # f32 in the oracle
         assert err.max() < 0.02, (quant, err.max())
+        np.testing.assert_array_equal(
+            np.asarray(pend_out[S, 1], np.float32),
+            np.asarray(row, np.float32),
+        )
 
 
 def test_staged_kernel_masks_dead_rows():
-    """Staged rows >= p_cnt must not contribute, and p_cnt=0 must leave
-    the unstaged result untouched (identity merge)."""
+    """Staged rows > p_cnt must not contribute (the appended row at slot
+    p_cnt IS the self term), and p_cnt=0 must equal the unstaged kernel
+    merged with the same self row via merge_self."""
     B, W, H, dh, S, MS, length = 2, 128, 4, 48, 4, 512, 60
     D = H * dh
     k, v, q, e, n = _setup(B, W, H, dh, MS, length)
@@ -378,30 +391,38 @@ def test_staged_kernel_masks_dead_rows():
     kv8, sc = quantize_rows(kv, 2 * H)
     kv8s = jnp.stack([kv8, jnp.zeros_like(kv8)])
     scs = jnp.stack([sc, jnp.zeros_like(sc)])
-    e_rows = expand_e_rows(e, n + 2, W)
-    e_pend = expand_e_rows(e, jnp.asarray(3, jnp.int32), S)
+    row = jax.random.normal(jax.random.PRNGKey(11), (B, 2 * D), jnp.bfloat16)
     pend = jax.random.normal(
         jax.random.PRNGKey(9), (S, 2, B, 2 * D), jnp.bfloat16
     )
 
     with pltpu.force_tpu_interpret_mode():
-        # p_cnt=2: poisoning rows 2..S-1 must not change the result
+        # p_cnt=2: poisoning rows 2..S-1 must not change the result. The
+        # total attendable length is n + 2 (n flushed + 2 staged).
+        e_rows = expand_e_rows(e, n + 3, W)
+        e_pend = expand_e_rows(e, jnp.asarray(3, jnp.int32), S + 1)
         a1 = decode_attn_cached(q, kv8s, scs, jnp.asarray(0), e_rows, n,
-                                pend, e_pend, jnp.asarray(2, jnp.int32))[:3]
-        poisoned = pend.at[2:].set(jnp.bfloat16(1e4))
+                                pend, e_pend, jnp.asarray(2, jnp.int32),
+                                row)
+        poisoned = pend.at[3:].set(jnp.bfloat16(1e4))
         a2 = decode_attn_cached(q, kv8s, scs, jnp.asarray(0), e_rows, n,
-                                poisoned, e_pend, jnp.asarray(2, jnp.int32))[:3]
-        for x, y in zip(a1, a2):
-            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+                                poisoned, e_pend, jnp.asarray(2, jnp.int32),
+                                row)
+        np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
 
-        # p_cnt=0 must equal the unstaged kernel call exactly
-        base = decode_attn_cached(q, kv8s, scs, jnp.asarray(0), e_rows, n)
-        z = decode_attn_cached(q, kv8s, scs, jnp.asarray(0), e_rows, n,
-                               poisoned, e_pend, jnp.asarray(0, jnp.int32))[:3]
-        for x, y in zip(z, base):
-            np.testing.assert_allclose(
-                np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-6
-            )
+        # p_cnt=0 must equal the unstaged kernel merged with the same
+        # self row outside (identity tail)
+        e_rows0 = expand_e_rows(e, n + 1, W)
+        e_pend0 = expand_e_rows(e, jnp.asarray(1, jnp.int32), S + 1)
+        base = decode_attn_cached(q, kv8s, scs, jnp.asarray(0), e_rows0, n)
+        want = merge_self(*base, q, row[:, :D], row[:, D:], e[MS - 1])
+        z, _ = decode_attn_cached(q, kv8s, scs, jnp.asarray(0), e_rows0, n,
+                                  poisoned, e_pend0,
+                                  jnp.asarray(0, jnp.int32), row)
+        np.testing.assert_allclose(
+            np.asarray(z, np.float32), np.asarray(want, np.float32),
+            rtol=0.02, atol=0.02,
+        )
 
 
 def test_flush_pend_places_rows():

@@ -247,20 +247,29 @@ def _kernel(
         # The current token attends to itself exactly: its K|V row is
         # row_ref, its bias row is E[ms-1] = ep_ref[n_pend] (expand_e_rows
         # with n = p_cnt + 1 over S + 1 rows puts E[ms-1] at index
-        # p_cnt). Same math as merge_self below; bf16 products with f32
-        # accumulation, like every other dot here.
-        k_row = row_ref[:, :D].astype(jnp.bfloat16)  # [bb, D]
+        # p_cnt). Same math as merge_self below. All of it runs as f32
+        # VPU multiply-reduces: a dynamic sublane-axis slice of ep_ref
+        # and the degenerate (N=1 / matrix-vector) MXU dots both FAIL
+        # Mosaic verification ('vector.broadcast' bf16->f32 on the
+        # [bb*H, dh] operand) -- the round-4 bench crash.
+        k_row = row_ref[:, :D].astype(jnp.float32)  # [bb, D]
         v_row = row_ref[:, D:].astype(jnp.float32)
-        logit_s = jax.lax.dot_general(
-            q16, k_row, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [bb, H] (block-diag q -> per-head self score)
-        e_self = ep_ref[pl.ds(n_pend, 1), :]  # [1, dh] = E[ms-1]
-        bias_s = jax.lax.dot_general(
-            qh_ref[:].reshape(bb * H, dh), e_self,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(bb, H)
+        # per-head self score via the block-diagonal q: q16 is zero off
+        # the head diagonal, so the D-axis reduce IS the per-head dot
+        logit_s = jnp.sum(
+            q16.astype(jnp.float32) * k_row[:, None, :], axis=-1
+        )  # [bb, H]
+        # E[ms-1] = ep_ref[n_pend], mask-selected (iota == n_pend) in f32
+        r_idx = jax.lax.broadcasted_iota(
+            jnp.int32, (ep_ref.shape[0], dh), 0
+        )
+        e_self = jnp.sum(
+            jnp.where(r_idx == n_pend, ep_ref[:].astype(jnp.float32), 0.0),
+            axis=0,
+        )  # [dh]
+        bias_s = jnp.sum(
+            qh_ref[:].astype(jnp.float32) * e_self[None, None, :], axis=-1
+        )  # [bb, H]
         logit_s = (logit_s + bias_s) * (1.0 / math.sqrt(dh))
         m_fin = jnp.maximum(m_ref[:], logit_s)
         a_old = jnp.exp(m_ref[:] - m_fin)

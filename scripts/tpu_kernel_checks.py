@@ -28,12 +28,18 @@ def run_checks() -> dict:
     kd = jax.random.key_data(jax.random.PRNGKey(7))
     results = {}
 
+    import time
+
     def check(name, fn):
+        t0 = time.time()
+        print(f"[tpu_kernel_checks] {name} ...", file=sys.stderr, flush=True)
         try:
             fn()
             results[name] = "pass"
         except Exception as e:  # noqa: BLE001 -- tally, don't abort bench
             results[name] = f"FAIL: {type(e).__name__}: {str(e)[:120]}"
+        print(f"[tpu_kernel_checks] {name}: {results[name]} "
+              f"({time.time() - t0:.1f}s)", file=sys.stderr, flush=True)
 
     def mask_statistics():
         x = jnp.ones((8, 1024, 768), jnp.bfloat16)
@@ -106,10 +112,104 @@ def run_checks() -> dict:
                 np.asarray(got, np.float32), want, rtol=0, atol=atol
             )
 
+    def decode_attn_all_modes():
+        # The one kernel the CPU suite structurally cannot cover: every
+        # decode test runs interpreted (decode_attention.py falls back on
+        # CPU), so Mosaic lowering of decode_attn_cached had ZERO automated
+        # evidence -- which is how round 4's staged self-term fold crashed
+        # bench (VERDICT r4 item 2). Checks all 4 quant x staged modes
+        # against the exact decode oracle, with a p_cnt sweep that hits
+        # the LAST stage slot (S - 1).
+        from midi_emotion_tpu.ops.attention import decode_rel_attention
+        from midi_emotion_tpu.ops.decode_attention import (
+            decode_attn_cached, expand_e_rows, merge_self, quantize_rows,
+        )
+
+        B, W, H, dh, MS, S, L, f = 8, 256, 4, 48, 512, 6, 2, 100
+        D = H * dh
+        ks = jax.random.split(jax.random.PRNGKey(5), 3)
+        q = jax.random.normal(ks[0], (B, H, dh), jnp.float32)
+        # rows 0..f-1 flushed; f..f+S-1 stageable; f+S is the current token
+        rows16 = jax.random.normal(ks[1], (B, f + S + 1, 2 * D), jnp.bfloat16)
+        rows = rows16.astype(jnp.float32)
+        e = jax.random.normal(ks[2], (MS, dh), jnp.float32)
+
+        for quant in (False, True):
+            flushed = rows16[:, :f]
+            if quant:
+                kv8, sc = quantize_rows(flushed.astype(jnp.float32), 2 * H)
+                kvW = jnp.zeros((B, W, 2 * D), jnp.int8)
+                scW = jnp.zeros((B, 2 * H, W), jnp.bfloat16)
+                kvW = kvW.at[:, :f].set(kv8)
+                scW = scW.at[:, :, :f].set(sc)
+                kvs = jnp.stack([jnp.zeros_like(kvW), kvW])
+                scs = jnp.stack([jnp.zeros_like(scW), scW])
+                tol = 0.05
+            else:
+                kvW = jnp.zeros((B, W, 2 * D), jnp.bfloat16)
+                kvW = kvW.at[:, :f].set(flushed)
+                kvs = jnp.stack([jnp.zeros_like(kvW), kvW])
+                scs = None
+                tol = 0.02
+            lay = jnp.asarray(1)
+            fl = jnp.asarray(f, jnp.int32)
+
+            for p_cnt in (None, 0, 2, S - 1):
+                p = 0 if p_cnt is None else p_cnt
+                n_tot = f + p + 1
+                cur = rows[:, f + p]
+                k_all = rows[:, :n_tot].at[:, -1].set(cur)[:, :, :D]
+                v_all = rows[:, :n_tot].at[:, -1].set(cur)[:, :, D:]
+                want = np.asarray(
+                    decode_rel_attention(
+                        q, k_all, v_all, e, jnp.asarray(n_tot, jnp.int32)
+                    ).reshape(B, D), np.float32)
+                e_rows = expand_e_rows(e, jnp.asarray(n_tot, jnp.int32), W)
+                if p_cnt is None:
+                    acc, m, l = jax.jit(decode_attn_cached, static_argnums=())(
+                        q, kvs, scs, lay, e_rows, fl)
+                    got = merge_self(acc, m, l, q, cur[:, :D].astype(jnp.bfloat16),
+                                     cur[:, D:].astype(jnp.bfloat16), e[MS - 1])
+                else:
+                    pend = jnp.zeros((S, L, B, 2 * D), jnp.bfloat16)
+                    pend = pend.at[:p, 1].set(
+                        jnp.transpose(rows16[:, f:f + p], (1, 0, 2)))
+                    e_pend = expand_e_rows(e, jnp.asarray(p + 1, jnp.int32),
+                                           S + 1)
+                    got, pend_out = decode_attn_cached(
+                        q, kvs, scs, lay, e_rows, fl, pend, e_pend,
+                        jnp.asarray(p, jnp.int32),
+                        rows16[:, f + p])
+                    np.testing.assert_array_equal(
+                        np.asarray(pend_out[p, 1], np.float32),
+                        np.asarray(rows16[:, f + p], np.float32))
+                got = np.asarray(got, np.float32)
+                err = np.abs(got - want) / (np.abs(want).max() + 1e-9)
+                assert err.max() < tol, (quant, p_cnt, err.max())
+
+    def fused_layernorm_spot():
+        from midi_emotion_tpu.ops import layernorm as ln
+
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(1024, 768), jnp.float32)
+        g = jnp.asarray(rng.rand(768) + 0.5, jnp.float32)
+        b = jnp.asarray(rng.randn(768) * 0.1, jnp.float32)
+        y = jax.jit(ln.fused_layernorm)(x, g, b)
+        want = ln.layernorm_ref(x, g, b)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=3e-5)
+        loss = lambda f: lambda x, g, b: (f(x, g, b) * jnp.cos(x)).sum()
+        got = jax.jit(jax.grad(loss(ln.fused_layernorm), (0, 1, 2)))(x, g, b)
+        ref = jax.jit(jax.grad(loss(ln.layernorm_ref), (0, 1, 2)))(x, g, b)
+        for a, w in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(w),
+                                       atol=2e-4, rtol=1e-4)
+
     check("dropout_mask_statistics", mask_statistics)
     check("dropout_backward_matches_forward", backward_matches_forward)
     check("dropout_add_layernorm_oracle", dal_matches_mask_oracle)
     check("flash_fwd_bwd_vs_xla", flash_fwd_bwd_spot)
+    check("decode_attn_all_modes", decode_attn_all_modes)
+    check("fused_layernorm_fwd_bwd", fused_layernorm_spot)
 
     n_pass = sum(1 for v in results.values() if v == "pass")
     return {

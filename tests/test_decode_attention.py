@@ -548,3 +548,131 @@ def test_staged_sampler_generates_across_slide():
     # flip samples on any rounding diff -- numerics are pinned step-wise by
     # test_staged_step_logits_track_legacy instead)
     assert (base >= 0).all() and (base < DEFAULT_VOCAB.base_size).all()
+
+
+def test_staged_clamp_overwrites_last_slot():
+    """OUT-OF-CONTRACT p_cnt == S (every slot full, no spare): the kernel
+    must not crash or write out of bounds -- the append's output block
+    index is clamped to the last stage slot (decode_attention.py, 'slot
+    index clamped'), so the row lands at slot S-1, overwriting it. The
+    attention math still reads the ORIGINAL staged rows (the input block
+    was fetched before the aliased write lands), so the output matches
+    the oracle over rows 0..S-1 + self."""
+    B, W, H, dh, S, MS = 2, 128, 4, 48, 4, 512
+    D = H * dh
+    L = 2
+    ks = jax.random.split(jax.random.PRNGKey(13), 3)
+    q = jax.random.normal(ks[0], (B, H, dh), jnp.float32)
+    kv_rows = jax.random.normal(ks[1], (S + 1, B, 2 * D), jnp.bfloat16)
+    e = jax.random.normal(ks[2], (MS, dh), jnp.float32)
+
+    k_all = kv_rows[:, :, :D].astype(jnp.float32).transpose(1, 0, 2)
+    v_all = kv_rows[:, :, D:].astype(jnp.float32).transpose(1, 0, 2)
+    n = jnp.asarray(S + 1, jnp.int32)
+    ref = np.asarray(
+        decode_rel_attention(q, k_all, v_all, e, n).reshape(B, D),
+        np.float32,
+    )
+
+    kv8 = jnp.zeros((L, B, W, 2 * D), jnp.bfloat16)
+    pend = jnp.zeros((S, L, B, 2 * D), jnp.bfloat16)  # NO spare slot
+    pend = pend.at[:, 1].set(kv_rows[:S])
+    e_rows = expand_e_rows(e, n, W)
+    e_pend = expand_e_rows(e, n, S + 1)  # row S = E[ms-1]
+    row = kv_rows[S]
+    with pltpu.force_tpu_interpret_mode():
+        out, pend_out = decode_attn_cached(
+            q, kv8, None, jnp.asarray(1), e_rows,
+            jnp.asarray(0, jnp.int32), pend, e_pend,
+            jnp.asarray(S, jnp.int32), row,  # p_cnt == S: out of contract
+        )
+    out = np.asarray(out, np.float32)
+    assert np.isfinite(out).all()
+    err = np.abs(out - ref) / (np.abs(ref).max() + 1e-9)
+    assert err.max() < 0.02, err.max()
+    # the clamped append overwrote the LAST slot (silent corruption is
+    # the documented degradation; the sampler-side contract test below
+    # proves generate() never reaches this)
+    np.testing.assert_array_equal(
+        np.asarray(pend_out[S - 1, 1], np.float32),
+        np.asarray(row, np.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pend_out[: S - 1, 1], np.float32),
+        np.asarray(kv_rows[: S - 1], np.float32),
+    )
+
+
+@pytest.mark.parametrize("stage_steps", [1, 8, 128])
+def test_sampler_stage_contract(stage_steps):
+    """generate()'s chunk sizing must keep the staged kernel IN contract
+    for every slide/remainder combination: a chunk whose cache is carried
+    to the next scan (no re-prefill between) must run a multiple of S
+    steps, so the carried cache is always fully flushed and the in-scan
+    stage index p_idx = arange(n) % ... never reaches S. Covers S=1
+    (flush every step), S=8 (remainder chunks), and S=128 (S larger than
+    every chunk: nothing can carry; every chunk must re-prefill).
+    Matches the windowing semantics of the reference decode loop
+    (/root/reference/src/generate.py:101-103)."""
+    from midi_emotion_tpu.generation.sampler import Sampler
+    from midi_emotion_tpu.models.config import ModelConfig
+    from midi_emotion_tpu.models.model import MusicTransformer, init_params
+    from midi_emotion_tpu.ops.sampling import SamplingParams
+    from midi_emotion_tpu.vocab import DEFAULT_VOCAB
+
+    cfg = ModelConfig(
+        vocab_size=DEFAULT_VOCAB.base_size, mode="continuous_concat",
+        n_layer=2, n_head=2, d_model=64, d_inner=96, d_condition=16,
+        max_seq=128, dropout=0.0,
+    ).validate()
+    model = MusicTransformer(cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    B, G = 2, 90  # G-1=89 steps: slides past max_input_len=64, remainder
+    sp = SamplingParams(gen_len=G, max_input_len=64, temperatures=(1.2, 1.2),
+                        top_k=-1, top_p=0.7, penalty_coeff=0.5, seed=1)
+    primers = np.ones((B, 1), np.int32)
+    conds = np.tile(np.array([[0.5, 0.5]], np.float32), (B, 1))
+    u = np.asarray(jax.random.uniform(jax.random.PRNGKey(2), (G - 1, B)))
+
+    s = Sampler(model, params, DEFAULT_VOCAB, sp, kv_dtype="bf16",
+                stage_steps=stage_steps, cache_stage=16, slide_hop=7)
+    events = []  # ("prefill",) | ("scan", n_steps)
+    orig_scan, orig_pre = s._scan_core_staged, s._prefill_core
+
+    def rec_scan(n_steps, window, varying):
+        fn = orig_scan(n_steps, window, varying)
+
+        def wrapped(*a, **k):
+            events.append(("scan", n_steps))
+            return fn(*a, **k)
+
+        return wrapped
+
+    def rec_pre(*a, **k):
+        events.append(("prefill",))
+        return orig_pre(*a, **k)
+
+    s._scan_core_staged = rec_scan
+    s._prefill_core = rec_pre
+    with pltpu.force_tpu_interpret_mode():
+        got = s.generate(primers, continuous_conditions=conds, uniforms=u)
+    assert got.shape == (B, G)
+    assert (got >= 0).all() and (got < DEFAULT_VOCAB.base_size).all()
+
+    scans = [e for e in events if e[0] == "scan"]
+    assert sum(n for _, n in scans) == G - 1
+    # THE CONTRACT: any scan followed by another scan with no prefill in
+    # between carried its cache -- its step count must be a multiple of S
+    for i, ev in enumerate(events):
+        if ev[0] != "scan":
+            continue
+        nxt = events[i + 1] if i + 1 < len(events) else None
+        if nxt is not None and nxt[0] == "scan":
+            assert ev[1] % stage_steps == 0, (stage_steps, events)
+    if stage_steps == 128:
+        # S exceeds every possible chunk: nothing can carry
+        carried = [
+            1 for i, ev in enumerate(events[:-1])
+            if ev[0] == "scan" and events[i + 1][0] == "scan"
+        ]
+        assert not carried, events

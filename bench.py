@@ -244,14 +244,24 @@ def main():
         batches = sweep if sweep else [args.gen_batch]
         best_tps, best_b, per_batch = -1.0, None, {}
         for B in batches:
-            sampler = Sampler(model, params, DEFAULT_VOCAB, sp)
-            gen_s = time_gen(sampler, B)
+            # per-batch fence: one batch's compile/OOM failure (round 5 hit
+            # a transient remote-compile HTTP 500) must not erase the
+            # other batches' measurements or the headline
+            try:
+                sampler = Sampler(model, params, DEFAULT_VOCAB, sp)
+                gen_s = time_gen(sampler, B)
+            except Exception as e:  # noqa: BLE001
+                per_batch[str(B)] = f"FAIL: {type(e).__name__}: {str(e)[:120]}"
+                continue
             tps = B * (G - 1) / gen_s
             per_batch[str(B)] = round(tps, 1)
             if tps > best_tps:
                 best_tps, best_b, best_s = tps, B, gen_s
             del sampler
             gc.collect()
+        if best_b is None:
+            result["gen_sweep_tokens_per_sec"] = per_batch
+            raise RuntimeError("every exact-gen batch failed")
         result["value"] = round(best_tps, 1)
         result["gen_batch"] = best_b
         result["gen_len"] = G

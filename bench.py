@@ -149,12 +149,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gen_len", type=int, default=1024)
     ap.add_argument("--gen_batch", type=int, default=64)
-    ap.add_argument("--sweep_gen_batch", type=str, default="32,64,96,128",
-                    help="comma list of exact-path batches to sweep for the "
-                         "headline (empty string disables the sweep)")
+    ap.add_argument("--sweep_gen_batch", type=str,
+                    default="32,64,96,bf16:64,bf16:96,bf16:128",
+                    help="comma list of exact-path configs to sweep for the "
+                         "headline: 'B' (native per-layer cache) or 'kv:B' "
+                         "with kv in {native, bf16} -- bf16 is the stacked "
+                         "staged cache at IDENTICAL precision (no "
+                         "quantization; it differs from native only in "
+                         "online-softmax summation order), so both are "
+                         "legitimate exact-path headline configs. Empty "
+                         "string disables the sweep. native:128 is omitted "
+                         "from the default: it fails to compile at this "
+                         "window (measured round 5) and costs the sweep a "
+                         "~2 min compile attempt.")
     ap.add_argument("--train_batch", type=int, default=8)
     ap.add_argument("--serve_batch", type=int, default=128,
-                    help="batch for the best-known int8 serving entry")
+                    help="(legacy; superseded by --sweep_serving)")
+    ap.add_argument("--sweep_serving", type=str,
+                    default="128:8,128:16,128:32,144:8",
+                    help="comma list of int8 serving configs 'batch:stage' "
+                         "to sweep; the best becomes serving_tokens_per_sec. "
+                         "144:8 probes the HBM-residency edge under the "
+                         "full-width prealloc (fenced; pre-prealloc it was "
+                         "RESOURCE_EXHAUSTED)")
     ap.add_argument("--attn_impl", type=str, default="pallas")
     ap.add_argument("--quick", action="store_true", help="tiny smoke sizes")
     ap.add_argument("--skip_train", action="store_true")
@@ -240,30 +257,39 @@ def main():
 
     # ---- exact-path generate (the headline `value`) ----
     def sec_exact_gen():
-        sweep = [int(x) for x in args.sweep_gen_batch.split(",") if x] or []
-        batches = sweep if sweep else [args.gen_batch]
-        best_tps, best_b, per_batch = -1.0, None, {}
-        for B in batches:
-            # per-batch fence: one batch's compile/OOM failure (round 5 hit
-            # a transient remote-compile HTTP 500) must not erase the
-            # other batches' measurements or the headline
+        def parse(tok):
+            kv, _, b = tok.rpartition(":")
+            kv = kv or "native"
+            assert kv in ("native", "bf16"), tok  # both are exact-precision
+            return kv, int(b)
+
+        sweep = [parse(x) for x in args.sweep_gen_batch.split(",") if x]
+        configs = sweep if sweep else [("native", args.gen_batch)]
+        best_tps, best_cfg, per_batch = -1.0, None, {}
+        for kv, B in configs:
+            key = f"{kv}:{B}"
+            # per-config fence: one config's compile/OOM failure (round 5
+            # hit a transient remote-compile HTTP 500) must not erase the
+            # other configs' measurements or the headline
             try:
-                sampler = Sampler(model, params, DEFAULT_VOCAB, sp)
+                sampler = Sampler(model, params, DEFAULT_VOCAB, sp,
+                                  kv_dtype=kv)
                 gen_s = time_gen(sampler, B)
             except Exception as e:  # noqa: BLE001
-                per_batch[str(B)] = f"FAIL: {type(e).__name__}: {str(e)[:120]}"
+                per_batch[key] = f"FAIL: {type(e).__name__}: {str(e)[:120]}"
                 continue
             tps = B * (G - 1) / gen_s
-            per_batch[str(B)] = round(tps, 1)
+            per_batch[key] = round(tps, 1)
             if tps > best_tps:
-                best_tps, best_b, best_s = tps, B, gen_s
+                best_tps, best_cfg, best_s = tps, (kv, B), gen_s
             del sampler
             gc.collect()
-        if best_b is None:
+        if best_cfg is None:
             result["gen_sweep_tokens_per_sec"] = per_batch
-            raise RuntimeError("every exact-gen batch failed")
+            raise RuntimeError("every exact-gen config failed")
         result["value"] = round(best_tps, 1)
-        result["gen_batch"] = best_b
+        result["gen_batch"] = best_cfg[1]
+        result["gen_kv_path"] = best_cfg[0]
         result["gen_len"] = G
         result["gen_seconds"] = round(best_s, 2)
         if sweep:
@@ -306,15 +332,37 @@ def main():
     def sec_serving():
         if args.quick:
             return
-        # best-known SERVING config: int8 stacked cache at the swept-best
-        # batch (throughput keeps rising to the HBM-residency limit;
-        # B=144/160 RESOURCE_EXHAUSTED at this window)
-        SB = args.serve_batch
-        sampler_s = Sampler(model, params, DEFAULT_VOCAB, sp, kv_dtype="int8")
-        serve_s = time_gen(sampler_s, SB)
-        serve_tps = SB * (G - 1) / serve_s
+        # SERVING sweep: int8 stacked cache over (batch, stage-depth)
+        # configs, each fenced (an OOM at the HBM-residency edge or a
+        # stage-depth compile failure must not erase the rest). Stage
+        # depth S amortizes the cache flush over S steps (staged
+        # pending-row buffer, ops/decode_attention.py).
+        best_tps, best_sbs, per_cfg = -1.0, None, {}
+        for tok in args.sweep_serving.split(","):
+            if not tok:
+                continue
+            SB, S = (int(x) for x in tok.split(":"))
+            try:
+                sampler_s = Sampler(model, params, DEFAULT_VOCAB, sp,
+                                    kv_dtype="int8", stage_steps=S)
+                serve_s = time_gen(sampler_s, SB)
+                del sampler_s
+                gc.collect()
+            except Exception as e:  # noqa: BLE001
+                per_cfg[tok] = f"FAIL: {type(e).__name__}: {str(e)[:120]}"
+                continue
+            tps = SB * (G - 1) / serve_s
+            per_cfg[tok] = round(tps, 1)
+            if tps > best_tps:
+                best_tps, best_sbs = tps, (SB, S)
+        result["serving_sweep_tokens_per_sec"] = per_cfg
+        if best_sbs is None:
+            raise RuntimeError("every serving config failed")
+        SB = best_sbs[0]
+        serve_tps = best_tps
         result["serving_tokens_per_sec"] = round(serve_tps, 1)
         result["serving_batch"] = SB
+        result["serving_stage_steps"] = best_sbs[1]
         result["serving_kv_dtype"] = "int8"
         # decode roofline: bytes the fused kernel streams per step. The
         # cache is preallocated full-width but the dead-block skip reads
@@ -336,11 +384,6 @@ def main():
         result["decode_bytes_per_step_gb"] = round(bytes_step / 1e9, 3)
         result["decode_gbps"] = round(bytes_step * (serve_tps / SB) / 1e9, 1)
         result["decode_gbps_peak"] = PEAK_HBM_GBPS
-        # the serving sampler holds ~GBs of KV cache; release before the
-        # train section so its measurement sees the same HBM headroom as
-        # a standalone training run
-        del sampler_s
-        gc.collect()
 
     section("serving", sec_serving)
 

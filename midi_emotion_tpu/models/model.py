@@ -110,7 +110,15 @@ class RelativeGlobalAttention(nn.Module):
             # (pad_t=0), so Tp > max_seq would trip _prepare's assert.
             if padded_len(T) <= self.max_seq:
                 Tp = padded_len(T)
-        proj = lambda w: self._split(self._pad_t(w(x), Tp - T))
+        # pad x ONCE and run the projections on the padded rows: one
+        # [B, Tp, d] pad (+ one slice in its adjoint) replaces three, at
+        # the price of Tp/T (~5%) extra rows through the QKV GEMMs --
+        # measured net win at the flagship shape. Tail rows become the
+        # projection BIAS (not zeros); that is safe because tail keys are
+        # masked via pad_keys below and tail q rows are sliced off after
+        # the merge, so no live row ever reads a tail value.
+        xp = self._pad_t(x, Tp - T)
+        proj = lambda w: self._split(w(xp))
         q = proj(self.wq)
         k = proj(self.wk)
         v = proj(self.wv)

@@ -93,6 +93,41 @@ def test_model_pallas_prepad_matches_xla(mode):
     )
 
 
+def test_model_pallas_prepad_grads_match_xla():
+    """Gradient parity through the MODEL's pre-pad structure: the
+    attention module pads x ONCE before the QKV projections, so the pad
+    tail rows carry the projection BIAS (not zeros). dW is unaffected
+    (tail x rows are zero) and db is unaffected (tail cotangents are
+    exactly zero: tail q rows are sliced off and tail keys are masked),
+    so parameter grads must match the XLA impl exactly up to kernel
+    numerics. Guards the fused-pad rewrite (RelativeGlobalAttention)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from midi_emotion_tpu.ops import pallas_attention as pa
+
+    cfg = ModelConfig(mode="continuous_concat", **{**TINY, "max_seq": max(
+        256, pa.padded_len(TOKENS.shape[1]))}, remat=False)
+    xla_model = MusicTransformer(cfg, attn_impl="xla")
+    params = init_params(xla_model, jax.random.PRNGKey(0))
+    pallas_model = MusicTransformer(cfg, attn_impl="pallas")
+
+    def loss(m):
+        def f(p):
+            out = m.apply({"params": p}, TOKENS, COND, True)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(xla_model))(params)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss(pallas_model))(params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_pal = jax.tree_util.tree_leaves(g_pal)
+    for (path, r), p in zip(flat_ref, flat_pal):
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(r), rtol=2e-4, atol=2e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_pad_is_masked():
     """Logits at position i must not depend on tokens at j > i, nor on
     pad keys."""

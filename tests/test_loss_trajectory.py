@@ -219,7 +219,11 @@ def _run_ours(tmp_path, dataset_dir, csv_records, ref_model, batches, accum):
 
 
 @pytest.mark.skipif(not conftest.reference_available(), reason="no reference")
-@pytest.mark.parametrize("accum", [1, 2])
+# accum=1 stays in the fast suite as the smoke config; accum=2 exercises the
+# scanned-microbatch path and is slow-marked (VERDICT r4 item 8)
+@pytest.mark.parametrize(
+    "accum", [1, pytest.param(2, marks=pytest.mark.slow)]
+)
 def test_loss_trajectory_parity(tmp_path, accum):
     import torch
 

@@ -199,10 +199,13 @@ def _setup_reference_generate():
 @pytest.mark.parametrize(
     "mode,topk,topp",
     [
-        ("none", 1, 0.0),  # greedy
-        ("none", -1, 0.7),  # nucleus
+        # flagship mode stays in the fast suite as the smoke config; the
+        # other three are slow-marked (VERDICT r4 item 8: the 7-config
+        # token-identical scan dominated the default run)
+        pytest.param("none", 1, 0.0, marks=pytest.mark.slow),  # greedy
+        pytest.param("none", -1, 0.7, marks=pytest.mark.slow),  # nucleus
         ("continuous_concat", -1, 0.7),
-        ("continuous_token", 20, 0.9),
+        pytest.param("continuous_token", 20, 0.9, marks=pytest.mark.slow),
     ],
 )
 def test_token_identical_vs_reference(mode, topk, topp):
@@ -384,6 +387,7 @@ def test_token_identical_vs_reference_discrete():
 
 
 @pytest.mark.skipif(not conftest.reference_available(), reason="no reference")
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["continuous_concat", "continuous_token"])
 def test_token_identical_varying_conditions(mode):
     """Per-step interpolated conditions (generate.py:35-36, 110-113): the

@@ -93,12 +93,87 @@ _FIELDS = [
 ]
 
 
+class _ColsView:
+    """pytables ``table.cols``: attribute access to a compound dataset's
+    columns (each column indexable like ``cols.artist_name[songidx]``)."""
+
+    def __init__(self, dataset):
+        self._ds = dataset
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in (self._ds.dtype.names or ()):
+            raise AttributeError(f"no column {name!r}")
+        # h5py field selection: ds[name] reads the whole column, matching
+        # pytables' Column read semantics closely enough for indexing
+        return self._ds[name]
+
+
+class _NodeView:
+    """pytables node: ``h5.root.metadata.songs`` style attribute walking
+    over an h5py group tree, with ``.nrows``/``.cols`` on table nodes."""
+
+    def __init__(self, node):
+        self._node = node
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        import h5py
+
+        if name == "cols" and isinstance(self._node, h5py.Dataset):
+            return _ColsView(self._node)
+        if name == "nrows" and isinstance(self._node, h5py.Dataset):
+            return self._node.shape[0]
+        try:
+            child = self._node[name]
+        except KeyError:
+            raise AttributeError(name) from None
+        if isinstance(child, h5py.Dataset) and child.dtype.names is None:
+            return child  # array node: slice it directly, like pytables
+        return _NodeView(child)
+
+    def __getitem__(self, key):  # table nodes are row-indexable too
+        return self._node[key]
+
+
+class _H5Handle:
+    """Read handle matching BOTH access styles: the h5py path style every
+    getter in this module uses (``h5["metadata/songs"]``) and the
+    reference's pytables attribute style (``h5.root.metadata.songs.nrows``,
+    ``...songs.cols.artist_name[idx]``, hdf5_getters.py:33-53). PARITY §3b
+    interop, closing the one place a reference-style caller touching
+    ``h5.root`` directly would have broken."""
+
+    def __init__(self, f):
+        self._f = f
+        self.root = _NodeView(f)
+
+    def __getitem__(self, key):
+        return self._f[key]
+
+    def __contains__(self, key):
+        return key in self._f
+
+    def __getattr__(self, name):  # close(), attrs, filename, ...
+        return getattr(self._f, name)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._f.close()
+        return False
+
+
 def open_h5_file_read(h5filename):
-    """Open an MSD .h5 file read-only. Returns an ``h5py.File`` usable
-    with every getter in this module (and as a context manager)."""
+    """Open an MSD .h5 file read-only. Returns a handle usable with every
+    getter in this module, as a context manager, and via the reference's
+    pytables-style ``h5.root`` attribute access."""
     import h5py
 
-    return h5py.File(h5filename, "r")
+    return _H5Handle(h5py.File(h5filename, "r"))
 
 
 def get_num_songs(h5) -> int:

@@ -165,3 +165,27 @@ def test_api_surface_matches_reference():
         assert callable(getattr(msd_hdf5, name))
     assert callable(msd_hdf5.open_h5_file_read)
     assert callable(msd_hdf5.get_num_songs)
+
+
+def test_pytables_style_root_access(msd_file):
+    """The handle also serves the reference's pytables attribute style
+    (hdf5_getters.py:33-53): h5.root.<group>.songs.nrows, .cols.<col>[i],
+    and bare array nodes sliced directly -- so reference-style caller code
+    works on our handle unchanged (PARITY 3b interop)."""
+    with msd_hdf5.open_h5_file_read(msd_file) as h5:
+        assert h5.root.metadata.songs.nrows == 3
+        assert h5.root.metadata.songs.cols.artist_name[1] == b"artist1"
+        assert h5.root.analysis.songs.cols.tempo[2] == 150.0
+        # array node, sliced like a pytables EArray
+        np.testing.assert_array_equal(
+            h5.root.metadata.artist_terms[0:2], [b"t0", b"t1"]
+        )
+        # 2-D array node keeps its feature axis
+        assert h5.root.analysis.segments_pitches[:].shape[1] == 12
+        # unknown attributes raise AttributeError, not KeyError
+        with pytest.raises(AttributeError):
+            h5.root.metadata.nope
+        with pytest.raises(AttributeError):
+            h5.root.metadata.songs.cols.nope
+        # the path style the table-driven getters use still works
+        assert h5["metadata/songs"].shape[0] == 3

@@ -259,20 +259,33 @@ def run_unit(args):
         }
         sb = mesh_lib.shard_batch(batch, mesh, leading_accum=True)
         lr = jnp.float32(2e-5)
-        tparams, opt_state, m = step(
-            tparams, opt_state, sb, jax.random.PRNGKey(0), lr
-        )  # compile
-        jax.block_until_ready(m["loss"])
-        n_steps = 6
-        t0 = time.time()
-        for i in range(n_steps):
-            # params/opt_state evolve per step and rng varies: every call
-            # is a genuinely fresh execution
+        # compile + 2 warmup steps. Sync each with a HOST FETCH:
+        # block_until_ready is unreliable on this tunnel (CLAUDE.md), and
+        # an unsynced compile remnant bleeding into the timed loop is
+        # exactly how the r5 full bench recorded 3.1 s/step for a 0.17 s
+        # step (a slow remote compile landed inside the timed region).
+        for w in range(3):
             tparams, opt_state, m = step(
-                tparams, opt_state, sb, jax.random.PRNGKey(i + 1), lr
+                tparams, opt_state, sb, jax.random.PRNGKey(-1 - w), lr
             )
-        float(jax.device_get(m["loss"]))  # host fetch = real completion
-        out["seconds_per_step"] = (time.time() - t0) / n_steps
+            float(jax.device_get(m["loss"]))
+        # time 3 chunks of 4 steps, report the BEST chunk: the tunnel
+        # shows intermittent multi-second stalls, and one stall inside a
+        # single timed window mis-reports a 0.17 s step by 10-300x. A
+        # chunk keeps async dispatch pipelining (sync only at its end via
+        # host fetch); params/opt_state evolve per step and rng varies,
+        # so every call is a genuinely fresh execution.
+        chunk, best = 4, float("inf")
+        for c in range(3):
+            t0 = time.time()
+            for i in range(chunk):
+                tparams, opt_state, m = step(
+                    tparams, opt_state, sb,
+                    jax.random.PRNGKey(c * chunk + i + 1), lr,
+                )
+            float(jax.device_get(m["loss"]))  # host fetch = completion
+            best = min(best, (time.time() - t0) / chunk)
+        out["seconds_per_step"] = best
         out["n_chips"] = len(jax.devices())
         out["train_batch"] = TB
         out["train_T"] = T

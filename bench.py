@@ -202,10 +202,11 @@ def run_unit(args):
     sp = SamplingParams(gen_len=G, max_input_len=1216, temperatures=(1.2, 1.2),
                         top_k=-1, top_p=0.7, penalty_coeff=0.5, seed=1)
 
-    def time_gen(s, B, reps=2):
+    def time_gen(s, B, reps=3):
         """Warm once, then best-of-`reps` (single-rep numbers on this
-        tunnel vary +-5%; max is the standard throughput convention).
-        Different RNG per rep so nothing can serve a memoized result."""
+        tunnel vary +-5%, and its stall phases can poison a whole rep;
+        max is the standard throughput convention). Different RNG per
+        rep so nothing can serve a memoized result."""
         prims = np.ones((B, 1), np.int32)
         cs = np.tile(np.array([[0.8, 0.8]], np.float32), (B, 1))
         s.generate(prims, continuous_conditions=cs,

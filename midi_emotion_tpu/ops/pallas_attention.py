@@ -170,6 +170,11 @@ def _pexp(x):
 # VPU time), i.e. the single dependence chain serializes the units; with
 # independent chains the hardware's async MXU queues can run one chain's
 # dots under another chain's softmax. 1 = the unsplit baseline.
+# SWEPT r5 at the flagship train shape (B=8, T=1216, chunked best-of-3):
+# chains 1/2/4 = 160.9/161.8/161.5 ms/step -- a WASH. Either Mosaic's
+# scheduler already overlaps the issue queues across the written program
+# order, or the fwd kernel's VPU tier (skew + online softmax) is not
+# actually shadowable under these block shapes. Keep 1.
 FWD_CHAINS = int(_os.environ.get("MIDI_EMOTION_FWD_CHAINS", "1"))
 
 # ---------------------------------------------------------------------------
